@@ -1,0 +1,14 @@
+"""Evaluation metrics: pixel-level and instance-level (AJI / AJI+ / PQ / Dice)."""
+from cdnet_tpu.metrics.pixel import (  # noqa: F401
+    accuracy_pixel_level,
+    compute_pixel_level_metrics,
+)
+from cdnet_tpu.metrics.instance import (  # noqa: F401
+    get_dice_1,
+    get_fast_aji,
+    get_fast_aji_plus,
+    get_fast_dice_2,
+    get_fast_pq,
+    pair_coordinates,
+    remap_label,
+)

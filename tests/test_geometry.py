@@ -1,0 +1,127 @@
+"""Golden tests for direction geometry.
+
+Fixture values come from the reference's own smoke block
+(`/root/reference/data_prepare/SegFix_offset_helper.py:508-527`) plus a NumPy
+oracle re-implementing the reference's masked-loop semantics.
+"""
+import numpy as np
+import pytest
+
+from cdnet_tpu.ops import geometry as G
+
+
+def oracle_align_angle(angle, num_classes):
+    """NumPy oracle implementing SegFix_offset_helper.py:312-341 verbatim semantics."""
+    angle = np.asarray(angle, dtype=np.float64)
+    step = 360.0 / num_classes
+    new_angle = np.zeros_like(angle)
+    idx = np.zeros(angle.shape, dtype=np.int64)
+    mask = (angle <= (-180 + step / 2)) | (angle > (180 - step / 2))
+    new_angle[mask] = -180
+    idx[mask] = 0
+    for i in range(1, num_classes):
+        middle = -180 + step * i
+        mask = (angle > (middle - step / 2)) & (angle <= (middle + step / 2))
+        new_angle[mask] = middle
+        idx[mask] = i
+    return new_angle, idx
+
+
+class TestAlignAngle:
+    def test_reference_smoke_values_c8(self):
+        angle = np.array([0.0, 45.0, 90.0, 180.0, -180.0])
+        new_angle, idx = G.align_angle(angle, num_classes=8)
+        assert list(np.asarray(idx)) == [4, 5, 6, 0, 0]
+        assert list(np.asarray(new_angle)) == [0.0, 45.0, 90.0, -180.0, -180.0]
+
+    def test_reference_smoke_values_c4(self):
+        # reference smoke block prints align_angle(..., num_classes=4)
+        angle = np.array([0.0, 45.0, 90.0, 180.0, -180.0])
+        new_angle, idx = G.align_angle(angle, num_classes=4)
+        # c4: trunc((a+180)/90) clipped to [0,3]
+        assert list(np.asarray(idx)) == [2, 2, 3, 3, 0]
+        assert list(np.asarray(new_angle)) == [45.0, 45.0, 135.0, 135.0, -135.0]
+
+    @pytest.mark.parametrize("num_classes", [8, 16, 32])
+    def test_against_oracle_dense(self, num_classes):
+        angle = np.linspace(-180.0, 180.0, 1441)  # includes exact boundaries
+        want_angle, want_idx = oracle_align_angle(angle, num_classes)
+        got_angle, got_idx = G.align_angle(angle, num_classes=num_classes)
+        np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+        np.testing.assert_allclose(np.asarray(got_angle), want_angle, atol=1e-4)
+
+    def test_boundary_right_closed(self):
+        # 22.5 deg is the right edge of class 4 (center 0) for 8 classes;
+        # -157.5 is the right edge of class 0 (center -180).
+        _, idx = G.align_angle(np.array([22.5, 22.51, -157.5, -157.49]), 8)
+        assert list(np.asarray(idx)) == [4, 5, 0, 1]
+
+
+class TestVectors:
+    def test_angle_to_vector_matches_sin_cos_of_aligned(self):
+        angle = np.array([0.0, 45.0, 90.0, 180.0, -180.0])
+        vec = np.asarray(G.angle_to_vector(angle, num_classes=8))
+        aligned = np.array([0.0, 45.0, 90.0, -180.0, -180.0])
+        np.testing.assert_allclose(vec[..., 0], np.sin(np.deg2rad(aligned)), atol=1e-6)
+        np.testing.assert_allclose(vec[..., 1], np.cos(np.deg2rad(aligned)), atol=1e-6)
+
+    def test_vector_label_roundtrip(self):
+        # reference smoke: vector_to_label(angle_to_vector(angle)) == align idx
+        angle = np.array([0.0, 45.0, 90.0, 180.0, -180.0])
+        vec = G.angle_to_vector(angle, num_classes=8)
+        label = G.vector_to_label(vec, num_classes=8)
+        assert list(np.asarray(label)) == [4, 5, 6, 0, 0]
+
+    def test_roundtrip_all_classes(self):
+        for n in (8, 16):
+            centers = -180.0 + np.arange(n) * (360.0 / n)
+            vec = G.angle_to_vector(centers, num_classes=n)
+            label = np.asarray(G.vector_to_label(vec, num_classes=n))
+            np.testing.assert_array_equal(label, np.arange(n))
+
+    def test_label_to_vector_tables(self):
+        lab = np.arange(9) - 0  # classes 0..8 for the 9-class table
+        vec = np.asarray(G.label_to_vector(lab, num_classes=9))
+        want = np.array([[0, 0], [0, -1], [-1, -1], [-1, 0], [-1, 1],
+                         [0, 1], [1, 1], [1, 0], [1, -1]])
+        np.testing.assert_array_equal(vec, want)
+
+    def test_label_to_vector_ignores_negative(self):
+        vec = np.asarray(G.label_to_vector(np.array([-1, 3]), num_classes=9))
+        np.testing.assert_array_equal(vec[0], [0, 0])
+        np.testing.assert_array_equal(vec[1], [-1, 0])
+
+    def test_class_vectors_consistent_with_class_angles(self):
+        # the 8-class table directions must quantize back to their own class
+        table = np.asarray(G.label_to_vector_table(8), dtype=np.float64)
+        label = np.asarray(G.vector_to_label(table, num_classes=8))
+        np.testing.assert_array_equal(label, np.arange(8))
+
+
+class TestSobel:
+    def test_kernel_values(self):
+        k = np.asarray(G.sobel_kernel(3))[:, :, 0, :]  # (3,3,2)
+        # offset (j',i') weight: y-kernel j'/(r2), x-kernel i'/r2
+        want_y = np.array([[-0.5, -1.0, -0.5], [0.0, 0.0, 0.0], [0.5, 1.0, 0.5]])
+        want_x = want_y.T
+        np.testing.assert_allclose(k[..., 0], want_y, atol=1e-6)
+        np.testing.assert_allclose(k[..., 1], want_x, atol=1e-6)
+
+    def test_gradient_direction_on_ramp(self):
+        # field increasing along w -> positive d/dw, zero d/dh
+        field = np.tile(np.arange(32, dtype=np.float32), (32, 1))
+        g = np.asarray(G.sobel_gradients(field, ksize=11))
+        inner = g[8:-8, 8:-8]
+        assert np.all(inner[..., 1] > 0)
+        np.testing.assert_allclose(inner[..., 0], 0.0, atol=1e-4)
+
+    def test_matches_torch_conv2d(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(0)
+        field = rng.rand(24, 24).astype(np.float32)
+        got = np.asarray(G.sobel_gradients(field, ksize=11))
+        kern = np.asarray(G.sobel_kernel(11))[:, :, 0, :]  # (11,11,2)
+        tk = torch.from_numpy(np.transpose(kern, (2, 0, 1))[:, None])  # (2,1,11,11)
+        tf = torch.from_numpy(field[None, None])
+        want = torch.nn.functional.conv2d(tf, tk, padding=5)[0].permute(1, 2, 0).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-4)
