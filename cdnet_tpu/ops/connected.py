@@ -1,0 +1,91 @@
+"""On-device connected-component labeling.
+
+TPU-native replacement for skimage.measure.label / scipy.ndimage.label
+(`/root/reference/test_dam.py:561`, `my_transforms_direction.py:723-779`,
+`postproc_other.py:37,44`). Instead of host union-find, each foreground pixel
+starts with its linear index and the component minimum is propagated to a
+fixpoint. Long-range propagation is accelerated with segmented min-scans
+(jax.lax.associative_scan) along rows and columns, so convergence needs only
+a few sweeps for blob-like shapes (nuclei); a `lax.while_loop` guarantees the
+exact fixpoint for arbitrary topology.
+
+Label order parity: components end up numbered 1..N in raster order of their
+topmost-leftmost pixel — the same order skimage.measure.label produces.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cdnet_tpu.ops.morphology import _shift2d
+
+_INF = jnp.int32(2 ** 30)
+
+
+def _segmented_min_scan(vals: jnp.ndarray, mask: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Min-scan along ``axis`` that resets at background pixels (both directions).
+
+    Elements are (value, reset) pairs under the associative operator
+    ``(v1,r1) ⊕ (v2,r2) = (v2 if r2 else min(v1,v2), r1|r2)``.
+    """
+    reset = ~mask
+
+    def op(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, jnp.minimum(av, bv)), ar | br
+
+    fwd, _ = jax.lax.associative_scan(op, (vals, reset), axis=axis)
+    bwd, _ = jax.lax.associative_scan(op, (vals, reset), axis=axis, reverse=True)
+    return jnp.minimum(fwd, bwd)
+
+
+def _neighbor_min(vals: jnp.ndarray, mask: jnp.ndarray, connectivity: int) -> jnp.ndarray:
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 2:
+        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    out = vals
+    for dy, dx in offs:
+        out = jnp.minimum(out, _shift2d(vals, dy, dx, _INF))
+    return jnp.where(mask, out, _INF)
+
+
+def label(mask: jnp.ndarray, connectivity: int = 2):
+    """Connected components of a boolean mask.
+
+    Returns ``(labels, num)`` with labels contiguous 1..num (int32), num as a
+    traced scalar. ``connectivity``: 1 = 4-neighborhood
+    (reference remove_small_points, test_dam.py:78), 2 = 8-neighborhood
+    (skimage.measure.label default, test_dam.py:561).
+    """
+    mask = mask.astype(bool)
+    h, w = mask.shape
+    idx = (jnp.arange(h * w, dtype=jnp.int32).reshape(h, w))
+    vals = jnp.where(mask, idx, _INF)
+
+    def sweep(v):
+        v = _segmented_min_scan(v, mask, axis=1)
+        v = _segmented_min_scan(v, mask, axis=0)
+        v = _neighbor_min(v, mask, connectivity)
+        return jnp.where(mask, v, _INF)
+
+    def cond(state):
+        v, changed = state
+        return changed
+
+    def body(state):
+        v, _ = state
+        nv = sweep(v)
+        return nv, jnp.any(nv != v)
+
+    vals, _ = jax.lax.while_loop(cond, body, (sweep(vals), jnp.array(True)))
+
+    # Relabel component roots (pixels equal to their own linear index) to
+    # contiguous ids in raster order — identical numbering to skimage.
+    is_root = mask & (vals == idx)
+    ranks = jnp.cumsum(is_root.reshape(-1)).reshape(h, w).astype(jnp.int32)
+    root_label = jnp.where(is_root, ranks, 0).reshape(-1)
+    # component id of each pixel = rank of its root
+    safe = jnp.clip(vals.reshape(-1), 0, h * w - 1)
+    labels = jnp.where(mask.reshape(-1), root_label[safe], 0).reshape(h, w)
+    return labels, jnp.max(ranks)

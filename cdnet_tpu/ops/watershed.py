@@ -1,0 +1,62 @@
+"""On-device marker-based watershed.
+
+TPU-native replacement for skimage.segmentation.watershed as used by the
+reference's instance post-processing (`/root/reference/postproc_other.py:47`:
+``watershed(-dist, marker, mask=pred)`` with ``dist`` a uint8 distance map).
+
+Design: a rising-water-level sweep. The flood level runs over the 256 possible
+uint8 distance values from high to low; at each level, labels propagate
+breadth-first (an inner `lax.while_loop` fixpoint) into unlabeled mask pixels
+whose distance is >= the level. This reproduces skimage's ordered flooding;
+only the tie-breaking *within* an equal-distance plateau reached by two basins
+simultaneously can differ (skimage uses FIFO insertion order; we resolve ties
+to the larger label id deterministically). Watershed lines therefore match up
+to plateau boundaries — sub-pixel-scale differences the dilation step after
+post-processing absorbs.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cdnet_tpu.ops.morphology import _shift2d
+
+_OFFS_4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
+
+
+def watershed(dist: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
+              num_levels: int = 256) -> jnp.ndarray:
+    """Flood ``markers`` over ``mask`` in decreasing order of ``dist``.
+
+    Equivalent to skimage ``watershed(-dist, markers, mask=mask)`` with
+    4-connectivity (skimage default connectivity=1). ``dist`` is quantized
+    to integer levels in [0, num_levels).
+    """
+    mask = mask.astype(bool)
+    markers = jnp.where(mask, markers.astype(jnp.int32), 0)
+    dist = jnp.clip(jnp.asarray(dist), 0, num_levels - 1).astype(jnp.int32)
+
+    def propagate_at(labels, level):
+        """Fixpoint: grow labels into mask pixels with dist >= level."""
+        candidates = mask & (labels == 0) & (dist >= level)
+
+        def cond(state):
+            lab, changed = state
+            return changed
+
+        def body(state):
+            lab, _ = state
+            nb = lab
+            for dy, dx in _OFFS_4:
+                nb = jnp.maximum(nb, _shift2d(lab, dy, dx, 0))
+            new = jnp.where(candidates & (lab == 0), nb, lab)
+            return new, jnp.any(new != lab)
+
+        labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.array(True)))
+        return labels
+
+    def level_step(i, labels):
+        level = num_levels - 1 - i
+        return propagate_at(labels, level)
+
+    return jax.lax.fori_loop(0, num_levels, level_step, markers)

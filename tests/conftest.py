@@ -6,6 +6,10 @@ mesh (so multi-chip sharding is validated without TPU hardware).
 """
 import os
 
+# Disable the axon TPU PJRT plugin for tests: its registration (sitecustomize)
+# dials the TPU tunnel even when JAX_PLATFORMS=cpu and can hang if the single
+# device grant is busy. Tests are CPU-only by design.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
