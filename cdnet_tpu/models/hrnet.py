@@ -1,0 +1,176 @@
+"""HRNet-W18-small with the DAM head — the CDNet paper model (`HRNet18_rev1`).
+
+Re-design of `/root/reference/models/dam/seg_hrnet_rev1.py:289-568` with the
+hardcoded config (seg_hrnet_rev1.py:292-325):
+
+- stem: two stride-1 3x3 convs to 64ch (FULL resolution — no downsampling stem)
+- stage1: 2 Bottleneck(64) blocks -> 256ch
+- stage2: 1 module x 2 branches, BASIC x2, channels (18, 36)
+- stage3: 3 modules x 3 branches, BASIC x2, channels (18, 36, 72)
+- stage4: 2 modules x 4 branches, BASIC x2, channels (18, 36, 72, 144)
+- head: bilinear-upsample branches 1..3 to branch-0 resolution, concat (270ch),
+  then the same DAM chain as model_unet_rev1 (seg_hrnet_rev1.py:527-548)
+
+Multi-branch fusion keeps every exchange as conv+resize on NHWC tensors so XLA
+fuses the elementwise sums; bilinear resize uses half-pixel centers (torch
+align_corners=False parity).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cdnet_tpu.models.layers import ConvBN, DAMHead, resize_bilinear
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: tuple[int, int] = (1, 1)
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = ConvBN(self.features, strides=self.strides, dtype=self.dtype)(x, train)
+        out = ConvBN(self.features, act=None, dtype=self.dtype)(out, train)
+        if residual.shape != out.shape:
+            residual = ConvBN(self.features, kernel=(1, 1), strides=self.strides,
+                              act=None, dtype=self.dtype)(x, train)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    expansion: int = 4
+    strides: tuple[int, int] = (1, 1)
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_ch = self.features * self.expansion
+        residual = x
+        out = ConvBN(self.features, kernel=(1, 1), dtype=self.dtype)(x, train)
+        out = ConvBN(self.features, strides=self.strides, dtype=self.dtype)(out, train)
+        out = ConvBN(out_ch, kernel=(1, 1), act=None, dtype=self.dtype)(out, train)
+        if residual.shape != out.shape:
+            residual = ConvBN(out_ch, kernel=(1, 1), strides=self.strides,
+                              act=None, dtype=self.dtype)(x, train)
+        return nn.relu(out + residual)
+
+
+class HRModule(nn.Module):
+    """One HighResolutionModule: per-branch blocks + full pairwise fusion
+    (seg_hrnet_rev1.py:136-280)."""
+    channels: Sequence[int]
+    num_blocks: int = 2
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        n = len(self.channels)
+        # branch blocks
+        ys = []
+        for i, x in enumerate(xs):
+            for b in range(self.num_blocks):
+                x = BasicBlock(self.channels[i], dtype=self.dtype,
+                               name=f"branch{i}_block{b}")(x, train)
+            ys.append(x)
+        if n == 1:
+            return ys
+        # fusion: out_i = relu(sum_j exchange(y_j -> res_i))
+        outs = []
+        for i in range(n):
+            acc = ys[i]
+            h, w = ys[i].shape[1], ys[i].shape[2]
+            for j in range(n):
+                if j == i:
+                    continue
+                if j > i:  # upsample: 1x1 conv to ch_i, bn, bilinear
+                    t = ConvBN(self.channels[i], kernel=(1, 1), act=None,
+                               dtype=self.dtype, name=f"fuse{i}_{j}")(ys[j], train)
+                    t = resize_bilinear(t, h, w)
+                else:  # downsample: (i-j) stride-2 3x3 convs
+                    t = ys[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        t = ConvBN(self.channels[i] if last else self.channels[j],
+                                   strides=(2, 2),
+                                   act=None if last else nn.relu,
+                                   dtype=self.dtype,
+                                   name=f"fuse{i}_{j}_down{k}")(t, train)
+                acc = acc + t
+            outs.append(nn.relu(acc))
+        return outs
+
+
+class _Transition(nn.Module):
+    """Branch-count/channel transition between stages (seg_hrnet_rev1.py:410-444)."""
+    in_channels: Sequence[int]
+    out_channels: Sequence[int]
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        outs = []
+        for i, ch in enumerate(self.out_channels):
+            if i < len(self.in_channels):
+                if self.in_channels[i] != ch:
+                    outs.append(ConvBN(ch, dtype=self.dtype,
+                                       name=f"trans{i}")(xs[i], train))
+                else:
+                    outs.append(xs[i])
+            else:  # new branch: stride-2 conv(s) from the last existing branch
+                t = xs[-1]
+                for j in range(i + 1 - len(self.in_channels)):
+                    out_ch = ch if j == i - len(self.in_channels) else t.shape[-1]
+                    t = ConvBN(out_ch, strides=(2, 2), dtype=self.dtype,
+                               name=f"trans{i}_down{j}")(t, train)
+                outs.append(t)
+        return outs
+
+
+class HRNet18DAM(nn.Module):
+    """`HRNet18_rev1` (seg_hrnet_rev1.py:289-568): HRNet-W18-small + DAM."""
+    out_c: int = 3
+    direction_classes: int = 9
+    with_dam: bool = True
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        # stem (stride 1 — full resolution; seg_hrnet_rev1.py:331-337)
+        x = ConvBN(64, dtype=self.dtype, name="stem1")(x, train)
+        x = ConvBN(64, dtype=self.dtype, name="stem2")(x, train)
+        # stage 1: bottleneck x2 -> 256ch
+        for b in range(2):
+            x = Bottleneck(64, dtype=self.dtype, name=f"layer1_{b}")(x, train)
+
+        chs2, chs3, chs4 = (18, 36), (18, 36, 72), (18, 36, 72, 144)
+        xs = _Transition((256,), chs2, dtype=self.dtype, name="transition1")([x], train)
+        xs = HRModule(chs2, dtype=self.dtype, name="stage2_m0")(xs, train)
+
+        xs = _Transition(chs2, chs3, dtype=self.dtype, name="transition2")(xs, train)
+        for m in range(3):
+            xs = HRModule(chs3, dtype=self.dtype, name=f"stage3_m{m}")(xs, train)
+
+        xs = _Transition(chs3, chs4, dtype=self.dtype, name="transition3")(xs, train)
+        for m in range(2):
+            xs = HRModule(chs4, dtype=self.dtype, name=f"stage4_m{m}")(xs, train)
+
+        # upsample + concat all branches (seg_hrnet_rev1.py:527-533)
+        h, w = xs[0].shape[1], xs[0].shape[2]
+        cat = jnp.concatenate(
+            [xs[0]] + [resize_bilinear(t, h, w) for t in xs[1:]], axis=-1)
+        if not self.with_dam:
+            x = ConvBN(cat.shape[-1], kernel=(1, 1), dtype=self.dtype,
+                       name="last_layer")(cat, train)
+            logits = nn.Conv(self.out_c, (1, 1), dtype=jnp.float32,
+                             param_dtype=jnp.float32,
+                             name="final_conv")(x.astype(jnp.float32))
+            return {"mask": logits}
+        return DAMHead(out_c=self.out_c,
+                       direction_classes=self.direction_classes,
+                       dtype=self.dtype, name="dam")(cat, train)

@@ -1,0 +1,90 @@
+"""Model zoo: shape/head contracts + param-count sanity (SURVEY.md §2.2)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cdnet_tpu.config import Config
+from cdnet_tpu.models import choose_model
+
+
+def _init_apply(model, shape=(1, 64, 64, 3)):
+    x = jnp.zeros(shape, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    return variables, out
+
+
+def n_params(variables):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+
+def cfg_for(name):
+    c = Config()
+    c.model.model_name = name
+    c.model.compute_dtype = "float32"  # CPU tests
+    return c
+
+
+class TestHeads:
+    def test_unet_single_head(self):
+        model = choose_model(cfg_for("UNet"))
+        _, out = _init_apply(model)
+        assert set(out) == {"mask"}
+        assert out["mask"].shape == (1, 64, 64, 3)
+        assert out["mask"].dtype == jnp.float32
+
+    def test_fullnet_full_resolution(self):
+        model = choose_model(cfg_for("FullNet"))
+        _, out = _init_apply(model, (1, 48, 48, 3))
+        assert out["mask"].shape == (1, 48, 48, 3)
+
+    def test_default_model_three_heads(self):
+        model = choose_model(cfg_for("UNet2RevA1_vgg16"))
+        _, out = _init_apply(model)
+        assert set(out) == {"mask", "point", "direction"}
+        assert out["mask"].shape == (1, 64, 64, 3)
+        assert out["point"].shape == (1, 64, 64, 1)
+        assert out["direction"].shape == (1, 64, 64, 9)
+
+    def test_mandd_two_heads_no_point(self):
+        model = choose_model(cfg_for("model_unet_MandD"))
+        _, out = _init_apply(model)
+        assert set(out) == {"mask", "direction"}
+        assert out["direction"].shape[-1] == 9
+
+    @pytest.mark.parametrize("name,ch", [("model_unet_MandD4", 5),
+                                         ("model_unet_MandD16", 17)])
+    def test_mandd_class_variants(self, name, ch):
+        model = choose_model(cfg_for(name))
+        _, out = _init_apply(model, (1, 32, 32, 3))
+        assert out["direction"].shape[-1] == ch
+
+    def test_hrnet_three_heads(self):
+        model = choose_model(cfg_for("HRNet18_rev1"))
+        _, out = _init_apply(model, (1, 32, 32, 3))
+        assert set(out) == {"mask", "point", "direction"}
+        assert out["mask"].shape == (1, 32, 32, 3)
+
+    def test_unknown_name_raises(self):
+        with pytest.raises(ValueError):
+            choose_model(cfg_for("NopeNet"))
+
+
+class TestParams:
+    def test_vgg_backbone_param_count(self):
+        # torchvision vgg16_bn.features has 14.72M params (convs+bns)
+        from cdnet_tpu.models.vgg_unet import VGG16Backbone
+        model = VGG16Backbone(dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                               train=False)
+        total = n_params(variables)
+        assert abs(total - 14_719_808) < 10_000, total
+
+    def test_train_mode_updates_batch_stats(self):
+        model = choose_model(cfg_for("UNet"))
+        x = jnp.ones((2, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out, mutated = model.apply(variables, x, train=True,
+                                   mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)})
+        assert "batch_stats" in mutated
