@@ -60,6 +60,7 @@ def _two_nearest_distinct(seed_mask: jnp.ndarray, seed_label: jnp.ndarray):
     s1 = (jnp.where(seed_mask, hh, -1), jnp.where(seed_mask, ww, -1),
           jnp.where(seed_mask, seed_label, -1))
     s2 = (neg1, neg1, neg1)
+    steps = jnp.asarray(_jfa_steps(h, w), dtype=jnp.int32)
 
     def merge(best1, best2, cand):
         """Fold one candidate seed into the (best1, best2) distinct-label pair."""
@@ -86,17 +87,25 @@ def _two_nearest_distinct(seed_mask: jnp.ndarray, seed_label: jnp.ndarray):
         n2l = jnp.where(b, cl, n2l)
         return (n1h, n1w, n1l), (n2h, n2w, n2l)
 
-    for k in _jfa_steps(h, w):
+    # One graph per ROUND, looped with fori — keeps the XLA graph small (the
+    # fully unrolled JFA is ~6k ops and stalls compilation). Shifted-in
+    # wrapped entries from jnp.roll are still valid seeds (positions are
+    # absolute), so no masking is needed.
+    def round_body(i, state):
+        s1, s2 = state
+        k = steps[i]
         new1, new2 = s1, s2
-        for dy in (-k, 0, k):
-            for dx in (-k, 0, k):
-                if dy == 0 and dx == 0:
+        for sy in (-1, 0, 1):
+            for sx in (-1, 0, 1):
+                if sy == 0 and sx == 0:
                     continue
                 for src in (s1, s2):
-                    cand = tuple(_shift2d(c, dy, dx, -1) for c in src)
+                    cand = tuple(jnp.roll(c, (sy * k, sx * k), (0, 1))
+                                 for c in src)
                     new1, new2 = merge(new1, new2, cand)
-        s1, s2 = new1, new2
+        return new1, new2
 
+    s1, s2 = jax.lax.fori_loop(0, len(_jfa_steps(h, w)), round_body, (s1, s2))
     d1 = dist2(s1[0], s1[1])
     d2 = dist2(s2[0], s2[1])
     return (s1 + (d1,)), (s2 + (d2,))

@@ -1,0 +1,78 @@
+"""Sliding-window (overlap-tile) inference as a batched tile grid.
+
+The reference's `split_forward` / `split_forward_dam`
+(`/root/reference/utils.py:603-726`) runs a serial Python loop over tiles,
+one forward each. TPU-native design (SURVEY.md §2.4/§5): the tile grid is
+extracted as ONE (T, size, size, C) batch, forwarded in a single (optionally
+mesh-sharded) call, and the center crops are scattered back — tiles are
+independent, so no halo exchange is needed; overlap margins are recomputed,
+not communicated.
+
+Padding parity: zero-pad H and W up to a multiple of (size - overlap) past
+``size`` (utils.py:666-675); each tile writes back only its center region
+(margins overlap//2, except at image borders).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def plan_tiles(h: int, w: int, size: int, overlap: int):
+    """Static tile plan: padded size + tile origin list (reference loop bounds)."""
+    stride = size - overlap
+    pad_h = 0 if h <= size else stride - (h - size) % stride
+    pad_w = 0 if w <= size else stride - (w - size) % stride
+    hp, wp = h + pad_h, w + pad_w
+    rows = list(range(0, max(hp - overlap, 1), stride)) if hp > size else [0]
+    cols = list(range(0, max(wp - overlap, 1), stride)) if wp > size else [0]
+    rows = [r for r in rows if r < hp - overlap or r == 0]
+    cols = [c for c in cols if c < wp - overlap or c == 0]
+    return hp, wp, rows, cols
+
+
+def split_forward(apply_fn: Callable, image: jnp.ndarray, size: int,
+                  overlap: int) -> dict:
+    """Tiled forward over one (H, W, C) image.
+
+    ``apply_fn``: (T, size, size, C) -> dict of (T, size, size, C') outputs
+    (jit/pjit-compiled by the caller; the tile batch is the natural axis to
+    shard over the mesh). Returns dict of (H, W, C') stitched outputs.
+    """
+    h, w, c = image.shape
+    if h <= size and w <= size:
+        # whole-image path (all_img_test=1, test_dam.py:940-949)
+        out = apply_fn(image[None])
+        return {k: v[0] for k, v in out.items()}
+
+    hp, wp, rows, cols = plan_tiles(h, w, size, overlap)
+    padded = jnp.pad(image, ((0, hp - h), (0, wp - w), (0, 0)))
+
+    tiles = []
+    for i in rows:
+        for j in cols:
+            tiles.append(jax.lax.dynamic_slice(padded, (i, j, 0), (size, size, c)))
+    batch = jnp.stack(tiles)
+    outs = apply_fn(batch)
+
+    stitched = {}
+    half = overlap // 2
+    for key, val in outs.items():
+        canvas = jnp.zeros((hp, wp, val.shape[-1]), val.dtype)
+        t = 0
+        for i in rows:
+            for j in cols:
+                i0 = i + half if i > 0 else 0
+                i1 = i + size - half if i + size < hp else hp
+                j0 = j + half if j > 0 else 0
+                j1 = j + size - half if j + size < wp else wp
+                patch = jax.lax.dynamic_slice(
+                    val[t], (i0 - i, j0 - j, 0), (i1 - i0, j1 - j0, val.shape[-1]))
+                canvas = jax.lax.dynamic_update_slice(canvas, patch, (i0, j0, 0))
+                t += 1
+        stitched[key] = canvas[:h, :w]
+    return stitched

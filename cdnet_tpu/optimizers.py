@@ -1,0 +1,100 @@
+"""Optimizer + LR-schedule factory (parity with `/root/reference/utils.py:907-990`
+and the hhl_utils RAdam/Ranger family).
+
+Implemented on optax: the reference's torch optimizers map to composable
+gradient transforms that live inside the jit-compiled train step — no
+host-side parameter groups. `ranger` = RAdam wrapped in Lookahead
+(hhl_utils/ranger.py:26).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import optax
+
+
+def make_schedule(cfg, steps_per_epoch: int = 1) -> Callable[[int], float]:
+    """Epoch-granular LR schedules (reference semantics; utils.py:940-962,965-977).
+
+    - 'StepLR':  lr * lr_decay^(epoch // step)
+    - 'ExponentialLR': lr * lr_decay^epoch
+    - 'CosineAnnealingWarmRestarts': T_0 = step, T_mult = 2, eta_min = 0
+    - 'None' / other: constant lr (adjust_learning_rate with scheduler None
+      keeps lr fixed, utils.py:968-971)
+    """
+    t = cfg.train
+    base, decay, step_size = t.lr, t.lr_decay, max(t.step, 1)
+    name = t.scheduler
+
+    def epoch_of(step):
+        return step // steps_per_epoch
+
+    if name == "StepLR":
+        return lambda s: base * decay ** (epoch_of(s) // step_size)
+    if name == "ExponentialLR":
+        return lambda s: base * decay ** epoch_of(s)
+    if name == "CosineAnnealingWarmRestarts":
+        def sched(s):
+            e = epoch_of(s)
+            t_i, t_cur = step_size, e
+            while t_cur >= t_i:
+                t_cur -= t_i
+                t_i *= 2
+            return 0.5 * base * (1 + math.cos(math.pi * t_cur / t_i))
+        return sched
+    # 'ReduceLROnPlateau' is stateful on val loss; handled by the train driver
+    # via optax.contrib.reduce_on_plateau when selected.
+    return lambda s: base
+
+
+def get_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    """`utils.get_optimizer` parity: optimizer name -> optax transform chain."""
+    t = cfg.train
+    schedule = make_schedule(cfg, steps_per_epoch)
+    name = t.optimizer.lower()
+    wd = t.weight_decay
+
+    if name == "sgd":
+        opt = optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.sgd(learning_rate=schedule, momentum=cfg.train.momentum),
+        )
+    elif name == "adam":
+        # torch Adam(weight_decay) adds wd*p to the gradient (L2, not AdamW)
+        opt = optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.adam(learning_rate=schedule, b1=0.9, b2=0.99),
+        )
+    elif name == "radam":
+        opt = optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.radam(learning_rate=schedule, b1=0.9, b2=0.99),
+        )
+    elif name == "adamw":
+        warmup = 4000
+        warm = optax.linear_schedule(0.0, 1.0, warmup)
+        opt = optax.chain(
+            optax.adamw(learning_rate=lambda s: schedule(s) * warm(s),
+                        b1=0.9, b2=0.99, weight_decay=wd),
+        )
+    elif name == "ranger":
+        inner = optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.radam(learning_rate=schedule, b1=0.9, b2=0.99),
+        )
+        opt = optax.lookahead(inner, sync_period=6, slow_step_size=0.5)
+    else:
+        raise ValueError(f"Optimizer {t.optimizer} not available")
+
+    if t.scheduler == "ReduceLROnPlateau":
+        opt = optax.chain(opt, optax.contrib.reduce_on_plateau(
+            factor=t.lr_decay, patience=t.step))
+    return opt
+
+
+def init_params_for(opt_name: str, params):
+    """Lookahead needs a LookaheadParams pair; others take params directly."""
+    if opt_name.lower() == "ranger":
+        return optax.LookaheadParams.init_synced(params)
+    return params
