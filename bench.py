@@ -1,0 +1,82 @@
+"""End-to-end benchmark: 1000x1000-tile CDNet inference + post-processing.
+
+Measures the BASELINE.json headline: full test_dam.py-equivalent inference —
+8-way TTA forward (as one batch), DDM fusion, boundary enhancement, argmax,
+fill-holes, small-object removal, connected-component instancing, dilation —
+as ONE jit-compiled TPU program per tile; masks never leave the device.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "tiles/sec", "vs_baseline": N}
+
+vs_baseline: the reference repo publishes no timing (SURVEY.md §6). The
+denominator 0.15 tiles/sec is our measured-order estimate of the reference
+pipeline on a modern GPU+CPU (8 serial forwards + host NumPy DDM loops +
+scipy/skimage post-proc, several seconds per 1000x1000 tile); it is recorded
+here for transparency, not as a published number.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_EST_TILES_PER_SEC = 0.15
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from cdnet_tpu.config import Config
+    from cdnet_tpu.data.synthetic import synthetic_tile
+    from cdnet_tpu.infer import build_pipeline
+    from cdnet_tpu.models import choose_model
+
+    cfg = Config()
+    cfg.test.tta = True
+    cfg.test.all_img_test = 1
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    model = choose_model(cfg)
+    size = 1024  # 1000x1000 tiles padded to the 128-aligned TPU shape
+    x0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+
+    pipeline = build_pipeline(model, variables, cfg, (size, size))
+
+    rng = np.random.RandomState(0)
+    img8, _, _ = synthetic_tile(rng, size)
+    img = jnp.asarray(img8, jnp.float32) / 255.0
+
+    # compile + warmup
+    t0 = time.time()
+    res = pipeline(img)
+    jax.block_until_ready(res)
+    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    for _ in range(2):
+        res = pipeline(img)
+        jax.block_until_ready(res)
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        res = pipeline(img)
+        jax.block_until_ready(res)
+    dt = time.time() - t0
+    tiles_per_sec = iters / dt
+    n_inst = int(np.asarray(res["instances"]).max())
+    print(f"{iters} tiles in {dt:.2f}s; last tile instances={n_inst}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "cdnet_e2e_infer_1000px_tta8_ddm_postproc",
+        "value": round(tiles_per_sec, 4),
+        "unit": "tiles/sec",
+        "vs_baseline": round(tiles_per_sec / REFERENCE_EST_TILES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,230 @@
+"""Inference driver (reference `test_dam.py` parity, TPU-native execution).
+
+CLI: ``python -m cdnet_tpu.infer [flags]``. Per test image the reference runs
+8 serial TTA forwards, host-side DDM fusion, boundary enhancement, and
+skimage post-processing (`/root/reference/test_dam.py:90-925`). Here the
+whole per-image pipeline — TTA as a batch axis, sliding-window tiles as a
+batch axis, DDM generation, boundary enhancement, CC/watershed instancing —
+is ONE jit-compiled device program; only metrics and artifact PNG/TIFF
+writing touch the host.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdnet_tpu import config as C
+from cdnet_tpu import metrics as M
+from cdnet_tpu.data.dataset import img_loader
+from cdnet_tpu.models import choose_model
+from cdnet_tpu.ops import tta as T
+from cdnet_tpu.ops.ddm import generate_dd_map
+from cdnet_tpu.ops.postproc import enhance_boundary, instances_from_pred
+from cdnet_tpu.ops.sliding_window import split_forward
+from cdnet_tpu.utils import AverageMeter, load_checkpoint
+
+
+def make_model_fn(model):
+    """(variables, (B,H,W,C) images) -> {"prob", "point", "direction_cls"}.
+
+    get_probmaps parity (test_dam.py:932-1035): softmax over mask; direction
+    softmax with its background prob scaled by the mask's background prob
+    before the argmax (test_dam.py:1011-1015). ``variables`` is an argument,
+    not a closure — closed-over params get baked into the XLA program as
+    constant literals (observed 81MB MLIR -> compile-helper crash).
+    """
+    def fn(variables, batch):
+        out = model.apply(variables, batch, train=False)
+        prob = jax.nn.softmax(out["mask"], axis=-1)
+        res = {"prob": prob}
+        if "point" in out:
+            res["point"] = out["point"]
+        if "direction" in out:
+            dprob = jax.nn.softmax(out["direction"], axis=-1)
+            dprob = dprob.at[..., 0].multiply(prob[..., 0])
+            res["direction_cls"] = jnp.argmax(dprob, axis=-1).astype(
+                jnp.int32)[..., None].astype(jnp.float32)
+        return res
+    return fn
+
+
+def build_pipeline(model, variables, cfg, image_hw: tuple[int, int]):
+    """Whole-image jit pipeline: (H,W,3) float image -> result dict."""
+    model_fn = make_model_fn(model)
+    use_tta = cfg.test.tta
+    patch, overlap = cfg.test.patch_size, cfg.test.overlap
+    whole = cfg.test.all_img_test == 1
+    dc = cfg.model.direction_classes
+
+    def forward_views(v_vars, views):
+        # tile each view if needed, else single batched forward
+        if whole:
+            return model_fn(v_vars, views)
+        outs = [split_forward(lambda b: model_fn(v_vars, b), v, patch, overlap)
+                for v in views]
+        return {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
+
+    @jax.jit
+    def _pipeline(v_vars, image):
+        h, w = image.shape[0], image.shape[1]
+        views = T.expand(image) if use_tta else image[None]
+        out = forward_views(v_vars, views)
+        prob_v = T.invert(out["prob"]) if use_tta else out["prob"]
+        prob = jnp.mean(prob_v, axis=0)
+        res = {"prob": prob}
+        if "point" in out:
+            pt_v = T.invert(out["point"]) if use_tta else out["point"]
+            point = jnp.mean(pt_v, axis=0)[..., 0]
+            res["point"] = point
+        if "direction_cls" in out:
+            d_v = (T.invert(out["direction_cls"]) if use_tta
+                   else out["direction_cls"])[..., 0].astype(jnp.int32)
+            # dcm_combined=1: DDM per TTA view, then mean (test_dam.py:478-490)
+            ddms = jax.vmap(lambda m: generate_dd_map(m, dc))(d_v)
+            ddm = jnp.mean(ddms, axis=0)
+            res["ddm"] = ddm
+            res["direction_cls"] = d_v[0]
+            if "point" in out:
+                prob = enhance_boundary(prob, point, ddm)
+                res["prob_enhanced"] = prob
+        pred = jnp.argmax(prob, axis=-1).astype(jnp.int32)
+        res["pred"] = pred
+        labels, pred2 = instances_from_pred(
+            pred, min_area=cfg.post.min_area, radius=cfg.post.radius,
+            use_watershed=bool(cfg.post.postproc))
+        res["instances"] = labels
+        res["pred2"] = pred2
+        return res
+
+    def pipeline(image):
+        return _pipeline(variables, image)
+
+    return pipeline
+
+
+def evaluate_instances(pred_labels: np.ndarray, gt_instances: np.ndarray):
+    """Per-image metric bundle (test_dam.py:583-669 subset: the headline ones)."""
+    pred_r = M.remap_label(pred_labels)
+    gt_r = M.remap_label(gt_instances)
+    aji = M.get_fast_aji(gt_r, pred_r)
+    [dq, sq, pq], _ = M.get_fast_pq(gt_r, pred_r)
+    dice = M.get_dice_1(gt_r, pred_r)
+    pix = M.accuracy_pixel_level((pred_labels > 0)[None], (gt_instances > 0)[None])
+    return {"dice": dice, "aji": aji[0], "dq": dq, "sq": sq, "pq": pq,
+            "pixel_acc": pix[0], "pixel_iou": pix[1], "pixel_recall": pix[2],
+            "pixel_precision": pix[3], "pixel_F1": pix[4]}
+
+
+def save_artifacts(save_dir: str, name: str, res: dict):
+    """PNG/TIFF artifact parity (test_dam.py:673-695)."""
+    from PIL import Image
+    os.makedirs(save_dir, exist_ok=True)
+    inst = np.asarray(res["instances"]).astype(np.uint16)
+    Image.fromarray(inst, mode="I;16").save(
+        os.path.join(save_dir, f"{name}_seg.tiff"))
+    prob = np.asarray(res["prob"])
+    Image.fromarray((prob[..., 1] * 255).astype(np.uint8)).save(
+        os.path.join(save_dir, f"{name}_prob_inside.png"))
+    Image.fromarray((prob[..., 2] * 255).astype(np.uint8)).save(
+        os.path.join(save_dir, f"{name}_prob_contour.png"))
+    if "ddm" in res:
+        Image.fromarray((np.asarray(res["ddm"]) * 255).astype(np.uint8)).save(
+            os.path.join(save_dir, f"{name}_ddm.png"))
+    if "point" in res:
+        pt = np.asarray(res["point"])
+        Image.fromarray(np.clip(pt, 0, 255).astype(np.uint8)).save(
+            os.path.join(save_dir, f"{name}_point.png"))
+    rng = np.random.RandomState(0)
+    colors = rng.randint(0, 255, (int(inst.max()) + 1, 3)).astype(np.uint8)
+    colors[0] = 0
+    Image.fromarray(colors[inst]).save(
+        os.path.join(save_dir, f"{name}_colored.png"))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("--image", type=str, default="",
+                        help="single image to segment (else test dir)")
+    parser.add_argument("--label", type=str, default="",
+                        help="instance label for metrics (.npy/.mat/.png)")
+    ns, rest = parser.parse_known_args(argv)
+    cfg = C.parse_args(rest, is_train=False)
+
+    model = choose_model(cfg)
+    # init then restore
+    sample = jnp.zeros((1, cfg.test.patch_size, cfg.test.patch_size,
+                        cfg.model.in_c), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    if os.path.exists(cfg.test.model_path + ".msgpack") or \
+            os.path.exists(cfg.test.model_path):
+        state, _ = load_checkpoint(cfg.test.model_path, {
+            "params": jax.device_get(variables["params"]),
+            "batch_stats": jax.device_get(variables.get("batch_stats", {}))})
+        variables = {"params": state["params"],
+                     "batch_stats": state["batch_stats"]}
+        print(f"loaded {cfg.test.model_path}")
+    else:
+        print(f"WARNING: no checkpoint at {cfg.test.model_path}; random weights")
+
+    if ns.image:
+        items = [(ns.image, ns.label or None)]
+    else:
+        img_dir = cfg.test.img_dir
+        label_dir = cfg.test.label_dir
+        items = []
+        for f in sorted(os.listdir(img_dir)):
+            stem = os.path.splitext(f)[0]
+            lbl = None
+            for ext in (".npy", ".mat", ".png"):
+                p = os.path.join(label_dir, stem + ext)
+                if os.path.exists(p):
+                    lbl = p
+                    break
+            items.append((os.path.join(img_dir, f), lbl))
+
+    os.makedirs(cfg.test.save_dir, exist_ok=True)
+    meter = AverageMeter(10)
+    pipeline = None
+    for img_path, lbl_path in items:
+        name = os.path.splitext(os.path.basename(img_path))[0]
+        img = np.asarray(img_loader(img_path, cfg.model.in_c),
+                         np.float32) / 255.0
+        if img.ndim == 2:
+            img = img[..., None]
+        if pipeline is None:
+            pipeline = build_pipeline(model, variables, cfg, img.shape[:2])
+        t0 = time.time()
+        res = pipeline(jnp.asarray(img))
+        jax.block_until_ready(res)
+        dt = time.time() - t0
+        print(f"{name}: {dt:.3f}s")
+        if cfg.test.save_flag:
+            save_artifacts(cfg.test.save_dir, name, res)
+        if lbl_path:
+            gt = np.asarray(img_loader(lbl_path))
+            if gt.ndim == 3:
+                gt = gt[..., 0]
+            m = evaluate_instances(np.asarray(res["instances"]), gt)
+            meter.update(list(m.values()))
+            print("  " + "  ".join(f"{k}={v:.4f}" for k, v in m.items()))
+
+    if meter.count:
+        keys = ["dice", "aji", "dq", "sq", "pq", "pixel_acc", "pixel_iou",
+                "pixel_recall", "pixel_precision", "pixel_F1"]
+        summary = dict(zip(keys, meter.avg))
+        with open(os.path.join(cfg.test.save_dir, "result.txt"), "w") as f:
+            for k, v in summary.items():
+                f.write(f"{k}: {v:.4f}\n")
+        print("AVG: " + "  ".join(f"{k}={v:.4f}" for k, v in summary.items()))
+        return summary
+    return None
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,74 @@
+"""Inference post-processing: DDM boundary enhancement -> instance map.
+
+The reference's per-image host pipeline (`/root/reference/test_dam.py:518-563`
++ `postproc_other.py:15-55`) re-expressed as jit-compiled device functions so
+masks never leave the TPU (BASELINE.json north star):
+
+1. boundary enhancement (DDM_switch=100, test_dam.py:530-539):
+   inside3 = dilate(point/max(point) > 0.2, disk(1));
+   eb = 2*(DDM - DDM*inside3);
+   prob[..., 2] = (prob[..., 2] + 0.5*eb) * (1 + eb); pred = argmax
+2. pred_inside (class 1) -> fill holes -> 4-connected CC + area filter
+   (remove_small_objects(bool) semantics) -> relabel
+3. postproc=0: 8-connected CC labeling (measure.label); postproc=1:
+   watershed re-split (postproc_other.process ws=True, min_size=10 default)
+4. disk(radius) label dilation
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cdnet_tpu.ops.connected import label as cc_label
+from cdnet_tpu.ops.edt import normalized_instance_edt
+from cdnet_tpu.ops.label_synthesis import _binary_erosion_scipy
+from cdnet_tpu.ops.morphology import (binary_fill_holes, dilation,
+                                      remove_small_objects)
+from cdnet_tpu.ops.watershed import watershed
+
+
+def enhance_boundary(prob_maps: jnp.ndarray, point_map: jnp.ndarray,
+                     ddm: jnp.ndarray) -> jnp.ndarray:
+    """DDM_switch=100 boundary enhancement (test_dam.py:530-539).
+
+    prob_maps (H,W,3) softmax, point_map (H,W), ddm (H,W) in [0,1].
+    """
+    inside3 = (point_map / jnp.maximum(jnp.max(point_map), 1e-7)) > 0.2
+    inside3 = dilation(inside3, 1)
+    eb = 2.0 * (ddm - ddm * inside3)
+    enhanced = (prob_maps[..., 2] + 0.5 * eb) * (1.0 + eb)
+    return prob_maps.at[..., 2].set(enhanced)
+
+
+@functools.partial(jax.jit, static_argnames=("min_area", "radius", "use_watershed",
+                                              "ws_min_size"))
+def instances_from_pred(pred: jnp.ndarray, min_area: int = 20, radius: int = 2,
+                        use_watershed: bool = False, ws_min_size: int = 10):
+    """3-class argmax map -> instance labels (test_dam.py:544-563).
+
+    Returns (labels int32, pred2 bool). ``use_watershed`` = opt.post.postproc.
+    """
+    pred_inside = pred == 1
+    pred_inside2 = binary_fill_holes(pred_inside)
+    # remove_small_objects on bool: 4-connected CC + area filter -> bool
+    lab4, _ = cc_label(pred_inside2, connectivity=1)
+    lab4 = remove_small_objects(lab4, min_area)
+    pred2 = lab4 > 0
+    if use_watershed:
+        # postproc_other.process(pred_inside*255, ws=True): note the reference
+        # feeds the PRE-fill inside mask here (test_dam.py:557)
+        lab, _ = cc_label(pred_inside, connectivity=1)
+        dist = (255.0 * normalized_instance_edt(lab)).astype(jnp.uint8)
+        marker = dist > 125
+        marker = binary_fill_holes(marker)
+        marker = _binary_erosion_scipy(marker)
+        mlab, _ = cc_label(marker, connectivity=1)
+        mlab = remove_small_objects(mlab, ws_min_size)
+        labels = watershed(dist, mlab, pred_inside)
+        labels = remove_small_objects(labels, ws_min_size)
+    else:
+        labels, _ = cc_label(pred2, connectivity=2)
+    labels = dilation(labels, radius)
+    return labels, pred2

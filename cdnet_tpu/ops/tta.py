@@ -11,7 +11,10 @@ mesh — and invert with the same static index maps.
 """
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
 
 # order matches test_dam.py: id, hf, vf, hvf, r90, r90+hf, r90+vf, r90+hvf
 TTA_NAMES = ("id", "hf", "vf", "hvf", "r90", "r90_hf", "r90_vf", "r90_hvf")
@@ -30,45 +33,70 @@ DCM_VOTING_TRANS = jnp.asarray([
 ], dtype=jnp.int32)
 
 
-def expand(image_hwc: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, C) -> (8, H', W', C) stack of the 8 symmetry views.
+@functools.lru_cache(maxsize=8)
+def _expand_grids(h: int, w: int) -> np.ndarray:
+    """(8, H, W, 2) int32: view_s[p] = img[grid_s[p]] for the 8 symmetries.
 
-    PIL ``rotate(90, expand=True)`` is a counter-clockwise rotation == np.rot90
-    k=1 on (H, W) axes; flips follow test_dam.py:314-317, 373-377 exactly.
-    Requires H == W for a stackable batch (pad beforehand otherwise).
+    Built by applying the forward transforms (PIL rotate(90, expand) ==
+    np.rot90 k=1; flips per test_dam.py:314-317, 373-377) to the identity
+    index grid with NumPy at trace time.
     """
-    img = image_hwc
-    hf = jnp.flip(img, axis=1)
-    vf = jnp.flip(img, axis=0)
-    hvf = jnp.flip(hf, axis=0)
-    r90 = jnp.rot90(img, k=1, axes=(0, 1))
-    r90_hf = jnp.flip(r90, axis=1)
-    r90_vf = jnp.flip(r90, axis=0)
-    r90_hvf = jnp.flip(r90_hf, axis=0)
-    return jnp.stack([img, hf, vf, hvf, r90, r90_hf, r90_vf, r90_hvf])
+    a = np.stack(np.mgrid[0:h, 0:w], axis=-1).astype(np.int32)
+    hf = np.flip(a, 1)
+    vf = np.flip(a, 0)
+    hvf = np.flip(hf, 0)
+    r90 = np.rot90(a, k=1, axes=(0, 1))
+    r90_hf = np.flip(r90, 1)
+    r90_vf = np.flip(r90, 0)
+    r90_hvf = np.flip(r90_hf, 0)
+    return np.ascontiguousarray(
+        np.stack([a, hf, vf, hvf, r90, r90_hf, r90_vf, r90_hvf]))
+
+
+@functools.lru_cache(maxsize=8)
+def _invert_grids(h: int, w: int) -> np.ndarray:
+    """(8, H, W, 2) int32: out_s[q] = view_s[grid_s[q]] — the reference's
+    re-flip order (test_dam.py:356-362, 428-443: flips, then rot90 k=3)."""
+    a = np.stack(np.mgrid[0:h, 0:w], axis=-1).astype(np.int32)
+    def rot3(x):
+        return np.rot90(x, k=3, axes=(0, 1))
+    grids = [
+        a,
+        np.flip(a, 1),
+        np.flip(a, 0),
+        np.flip(np.flip(a, 0), 1),
+        rot3(a),
+        rot3(np.flip(a, 1)),
+        rot3(np.flip(a, 0)),
+        rot3(np.flip(np.flip(a, 0), 1)),
+    ]
+    return np.ascontiguousarray(np.stack(grids))
+
+
+def expand(image_hwc: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> (8, H, W, C) stack of the 8 symmetry views.
+
+    Implemented as one index-grid gather: per-view flip/rot90 slice+stack
+    chains made XLA:TPU pick an N/C-minor tiled layout, padding tiny dims to
+    (4, 128) — a 170x HBM blowup at 1024^2 (observed 18GB OOM on v5e).
+    Requires H == W (pad beforehand otherwise).
+    """
+    h, w = image_hwc.shape[0], image_hwc.shape[1]
+    g = _expand_grids(h, w)
+    return image_hwc[jnp.asarray(g[..., 0]), jnp.asarray(g[..., 1])]
 
 
 def invert(outputs_8hwc: jnp.ndarray) -> jnp.ndarray:
     """Inverse-transform each of the 8 views back to the identity frame.
 
-    Matches the reference's re-flip order (test_dam.py:356-362, 428-443):
-    flips first, then rot90 k=3 for the rotated group. Spatial-only — for
-    direction-class maps apply :data:`DCM_VOTING_TRANS` separately (the
-    reference itself does NOT remap classes in the DDM-fusion path, and
-    neither do we by default).
+    Spatial-only — for direction-class maps apply :data:`DCM_VOTING_TRANS`
+    separately (the reference itself does NOT remap classes in the DDM-fusion
+    path, and neither do we by default).
     """
-    o = outputs_8hwc
-    outs = [
-        o[0],
-        jnp.flip(o[1], axis=1),
-        jnp.flip(o[2], axis=0),
-        jnp.flip(jnp.flip(o[3], axis=0), axis=1),
-        jnp.rot90(o[4], k=3, axes=(0, 1)),
-        jnp.rot90(jnp.flip(o[5], axis=1), k=3, axes=(0, 1)),
-        jnp.rot90(jnp.flip(o[6], axis=0), k=3, axes=(0, 1)),
-        jnp.rot90(jnp.flip(jnp.flip(o[7], axis=0), axis=1), k=3, axes=(0, 1)),
-    ]
-    return jnp.stack(outs)
+    h, w = outputs_8hwc.shape[1], outputs_8hwc.shape[2]
+    g = _invert_grids(h, w)
+    view_idx = jnp.arange(8)[:, None, None]
+    return outputs_8hwc[view_idx, jnp.asarray(g[..., 0]), jnp.asarray(g[..., 1])]
 
 
 def dcm_voting2(direction_maps_8hw: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,139 @@
+"""Sharded train / eval steps.
+
+One jit-compiled program per step: on-device label synthesis (batched via
+vmap), forward, composite loss, backward, optimizer update — the entire
+per-batch body of the reference's `train_util_dam.train`
+(`/root/reference/train_util_dam.py:45-339`) with its CPU one-hot loops and
+per-batch `.cuda()` transfers replaced by XLA. Data parallelism comes from the
+batch arriving sharded over the mesh's "data" axis; XLA inserts the gradient
+all-reduce over ICI automatically.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from cdnet_tpu import losses
+from cdnet_tpu.metrics.pixel import EPS
+from cdnet_tpu.ops.label_synthesis import synthesize_labels
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def prepare_targets(batch: dict, cfg, max_instances: int = 160) -> dict:
+    """Batch of instance labels -> full supervision dict, all on device.
+
+    ``batch``: {"image": (N,H,W,C), "weight": (N,H,W), "instance": (N,H,W)}.
+    Replaces the reference's per-sample CPU LabelEncoding + per-batch numpy
+    one-hot prep (train_util_dam.py:59-142). The /20 weight scaling matches
+    train_util_dam.py:102.
+    """
+    m = cfg.model
+    synth = jax.vmap(
+        functools.partial(synthesize_labels, max_instances=max_instances)
+    )(batch["instance"].astype(jnp.int32))
+    mask_t = synth["label_3c"]
+    targets = {
+        "mask": mask_t,
+        "mask_onehot": jax.nn.one_hot(mask_t, m.out_c, dtype=jnp.float32),
+        "weight": batch["weight"].astype(jnp.float32) / 20.0,
+        "instance": synth["instance"],
+    }
+    if m.mseloss == 1:
+        targets["point"] = synth["point"][..., None]
+    if m.direction == 1:
+        # direction one-hot is additionally masked to foreground classes
+        # (train_util_dam.py:138-140 zeroes one-hot outside mask in {1,2})
+        donehot = jax.nn.one_hot(synth["direction"], m.direction_classes,
+                                 dtype=jnp.float32)
+        fg = (mask_t == 1) | (mask_t == 2)
+        donehot = donehot * fg[..., None]
+        targets["direction"] = synth["direction"]
+        targets["direction_onehot"] = donehot
+    return targets
+
+
+def pixel_metrics_device(pred: jnp.ndarray, target: jnp.ndarray):
+    """Inside-class pixel metrics on device (utils.py:12-62 tensor variant)."""
+    p = (pred == 1).astype(jnp.float32)
+    t = (target == 1).astype(jnp.float32)
+    axes = tuple(range(1, p.ndim))
+    tp = jnp.sum(p * t, axes)
+    tn = jnp.sum((1 - p) * (1 - t), axes)
+    fp = jnp.sum(p * (1 - t), axes)
+    fn = jnp.sum((1 - p) * t, axes)
+    precision = tp / (tp + fp + EPS)
+    recall = tp / (tp + fn + EPS)
+    f1 = 2 * precision * recall / (precision + recall + EPS)
+    acc = (tp + tn) / (tp + fp + tn + fn + EPS)
+    iou = tp / (tp + fp + fn + EPS)
+    return {k: jnp.mean(v) for k, v in
+            dict(pixel_acc=acc, pixel_iou=iou, pixel_recall=recall,
+                 pixel_precision=precision, pixel_F1=f1).items()}
+
+
+def make_train_step(model, cfg, opt: optax.GradientTransformation,
+                    max_instances: int = 160) -> Callable:
+    """Build the jitted train step: (state, batch) -> (state, metrics)."""
+    is_lookahead = cfg.train.optimizer.lower() == "ranger"
+
+    def loss_fn(params, batch_stats, batch, targets):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"])
+        total, comps = losses.composite_loss(out, targets, cfg)
+        if cfg.train.alpha > 0:
+            probs = jax.nn.softmax(out["mask"], axis=-1)
+            lv = losses.variance_loss(probs, targets["instance"], max_instances)
+            if cfg.train.alpha == 2:
+                total = cfg.train.alpha * lv
+            else:
+                total = total + cfg.train.alpha * lv
+            comps["loss_var"] = lv
+        return total, (comps, mut["batch_stats"], out)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: dict):
+        targets = prepare_targets(batch, cfg, max_instances)
+        grad_params = state.params.fast if is_lookahead else state.params
+        (_, (comps, new_bs, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(grad_params, state.batch_stats, batch, targets)
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(comps)
+        pred = jnp.argmax(out["mask"], axis=-1)
+        metrics.update(pixel_metrics_device(pred, targets["mask"]))
+        return (state.replace(step=state.step + 1, params=new_params,
+                              batch_stats=new_bs, opt_state=new_opt),
+                metrics)
+
+    return train_step
+
+
+def make_eval_step(model, cfg, max_instances: int = 160) -> Callable:
+    """Jitted validation step: (state, batch) -> metrics (no grads)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: dict):
+        targets = prepare_targets(batch, cfg, max_instances)
+        params = state.params.slow if cfg.train.optimizer.lower() == "ranger" \
+            else state.params
+        out = model.apply({"params": params, "batch_stats": state.batch_stats},
+                          batch["image"], train=False)
+        _, comps = losses.composite_loss(out, targets, cfg)
+        pred = jnp.argmax(out["mask"], axis=-1)
+        metrics = dict(comps)
+        metrics.update(pixel_metrics_device(pred, targets["mask"]))
+        return metrics
+
+    return eval_step

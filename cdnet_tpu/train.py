@@ -1,0 +1,172 @@
+"""Training driver (reference `train.py` parity, TPU-native execution).
+
+CLI: ``python -m cdnet_tpu.train [flags]`` — same flag surface as the
+reference `Options` (`/root/reference/options.py`), plus ``--synthetic N`` to
+train on generated tiles when no dataset is on disk.
+
+Flow parity with `/root/reference/train.py:47-458`: seed, logging, experiment
+CSV row, model/optimizer build, optional checkpoint resume, epoch loop with
+per-epoch checkpointing + best-IoU copy + EarlyStopping(-(F1+IoU)).
+TPU-native differences: label synthesis happens inside the jitted train step
+(no CPU worker LabelEncoding), batches are sharded over the mesh (DP), and
+BN/optimizer state live in a TrainState pytree.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdnet_tpu import config as C
+from cdnet_tpu.data.dataset import DataFolder
+from cdnet_tpu.data.synthetic import SyntheticDataset
+from cdnet_tpu.data.transforms import get_transforms
+from cdnet_tpu.models import choose_model
+from cdnet_tpu.optimizers import get_optimizer, init_params_for
+from cdnet_tpu.parallel import (TrainState, make_eval_step, make_mesh,
+                                make_train_step, replicate, shard_batch)
+from cdnet_tpu.utils import (AverageMeter, EarlyStopping, ExperimentCSV,
+                             load_checkpoint, save_checkpoint, setup_logging)
+
+
+def build_dataset(cfg, synthetic: int = 0):
+    names = [n for n in cfg.train.trans_train if n != "label_encoding"]
+    tf = get_transforms(names, cfg.train.input_size, cfg.train.seed)
+    if synthetic:
+        return SyntheticDataset(synthetic, max(cfg.train.input_size, 64),
+                                cfg.train.seed, data_transform=tf)
+    img_dir = os.path.join(cfg.train.data_dir, "images", "train")
+    weight_dir = os.path.join(cfg.train.weight_map_dir, "train")
+    label_dir = os.path.join(cfg.train.data_dir, "labels_instance", "train")
+    post_fix = ["weight.png", "label.npy"]
+    return DataFolder([img_dir, weight_dir, label_dir], post_fix,
+                      num_channels=cfg.model.in_c, data_transform=tf)
+
+
+def batches_of(dataset, batch_size: int, rng: np.random.RandomState,
+               drop_last: bool = True):
+    """Shuffled epoch iterator assembling device-ready dict batches."""
+    order = rng.permutation(len(dataset))
+    for s in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                   batch_size):
+        idx = order[s:s + batch_size]
+        if drop_last and len(idx) < batch_size:
+            return
+        imgs, weights, insts = [], [], []
+        for i in idx:
+            img, wmap, inst = dataset[int(i)]
+            imgs.append(np.asarray(img, np.float32))
+            weights.append(np.asarray(wmap, np.float32))
+            insts.append(np.asarray(inst, np.int32))
+        yield {"image": np.stack(imgs), "weight": np.stack(weights),
+               "instance": np.stack(insts)}
+
+
+def init_state(cfg, model, sample_image, opt, rng_seed: int = 0) -> TrainState:
+    variables = model.init(jax.random.PRNGKey(rng_seed), sample_image[:1],
+                           train=False)
+    params = init_params_for(cfg.train.optimizer, variables["params"])
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=variables.get("batch_stats", {}),
+                      opt_state=opt.init(params))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="train on N synthetic tiles instead of a dataset")
+    parser.add_argument("--max-instances", type=int, default=160)
+    ns, rest = parser.parse_known_args(argv)
+    cfg = C.parse_args(rest, is_train=True)
+
+    np.random.seed(cfg.train.seed)
+    os.makedirs(cfg.train.save_dir, exist_ok=True)
+    ckpt_dir = os.path.join(cfg.train.save_dir, "checkpoints")
+    logger, logger_results = setup_logging(cfg.train.save_dir)
+    cfg.to_json(os.path.join(cfg.train.save_dir, "config.json"))
+    ExperimentCSV(os.path.join("experiments", f"logExl_{cfg.dataset}.csv")).upsert(
+        cfg.exp_filename(), {"dataset": cfg.dataset, "lr": cfg.train.lr,
+                             "optimizer": cfg.train.optimizer,
+                             "epochs": cfg.train.num_epochs})
+
+    logger.info(f"devices: {jax.devices()}")
+    mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axis_names)
+    model = choose_model(cfg)
+    opt = get_optimizer(cfg)
+    dataset = build_dataset(cfg, ns.synthetic)
+    logger.info(f"dataset: {len(dataset)} samples")
+
+    data_rng = np.random.RandomState(cfg.train.seed)
+    first = next(batches_of(dataset, cfg.train.batch_size, data_rng,
+                            drop_last=False))
+    state = init_state(cfg, model, jnp.asarray(first["image"]), opt,
+                       cfg.train.seed)
+
+    start_epoch = cfg.train.start_epoch
+    if cfg.train.checkpoint:
+        restored, epoch = load_checkpoint(cfg.train.checkpoint,
+                                          jax.device_get(state))
+        state = jax.tree.map(jnp.asarray, restored)
+        start_epoch = epoch
+        logger.info(f"resumed from {cfg.train.checkpoint} at epoch {epoch}")
+
+    state = replicate(state, mesh)
+    train_step = make_train_step(model, cfg, opt, ns.max_instances)
+    eval_step = make_eval_step(model, cfg, ns.max_instances)
+    stopper = EarlyStopping(patience=cfg.train.early_stop)
+
+    best_iou = 0.0
+    metric_keys = None
+    for epoch in range(start_epoch, cfg.train.num_epochs):
+        t0 = time.time()
+        meter = AverageMeter(len(metric_keys) if metric_keys else 1)
+        for it, batch in enumerate(batches_of(dataset, cfg.train.batch_size,
+                                              data_rng)):
+            state, metrics = train_step(state, shard_batch(batch, mesh))
+            if metric_keys is None:
+                metric_keys = sorted(metrics.keys())
+                meter = AverageMeter(len(metric_keys))
+            meter.update([float(metrics[k]) for k in metric_keys],
+                         batch["image"].shape[0])
+            if it % cfg.train.log_interval == 0:
+                msg = "  ".join(f"{k}={v:.4f}" for k, v in
+                                zip(metric_keys, meter.avg))
+                logger.info(f"\tepoch {epoch} it {it}: {msg}")
+
+        train_avg = dict(zip(metric_keys or [], meter.avg))
+        # validation=0 default: val metrics = train metrics (train.py:379-387)
+        if cfg.train.validation:
+            vmeter = AverageMeter(len(metric_keys))
+            for batch in batches_of(dataset, cfg.train.batch_size, data_rng):
+                vm = eval_step(state, shard_batch(batch, mesh))
+                vmeter.update([float(vm[k]) for k in metric_keys],
+                              batch["image"].shape[0])
+            val_avg = dict(zip(metric_keys, vmeter.avg))
+        else:
+            val_avg = train_avg
+
+        iou = val_avg.get("pixel_iou", 0.0)
+        f1 = val_avg.get("pixel_F1", 0.0)
+        is_best = iou > best_iou
+        best_iou = max(best_iou, iou)
+        save_checkpoint(ckpt_dir, jax.device_get(state), epoch, is_best,
+                        cfg.train.num_epochs, cfg.train.checkpoint_freq)
+        logger_results.info(
+            f"{epoch}\t" + "\t".join(f"{val_avg[k]:.4f}" for k in metric_keys))
+        logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s  "
+                    f"loss={val_avg.get('loss', 0):.4f} iou={iou:.4f} "
+                    f"F1={f1:.4f} best_iou={best_iou:.4f}")
+        if stopper(-(f1 + iou), epoch):
+            logger.info("early stopping")
+            break
+    logger.info("training complete")
+    return state
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,4 @@
+"""Runtime utilities: checkpointing, logging, early stopping, meters."""
+from cdnet_tpu.utils.checkpoint import load_checkpoint, save_checkpoint  # noqa: F401
+from cdnet_tpu.utils.logging import AverageMeter, ExperimentCSV, setup_logging  # noqa: F401
+from cdnet_tpu.utils.early_stop import EarlyStopping  # noqa: F401

@@ -1,0 +1,98 @@
+"""Logging + experiment tracking.
+
+Parity with the reference's observability surface (SURVEY.md §5):
+- `setup_logging`: console + train.log logger and a bare epoch_results.txt
+  TSV of per-epoch scalars (`/root/reference/train.py:482-518`)
+- `AverageMeter`: vector-valued running average (`utils.py:755-774`)
+- `ExperimentCSV`: the wide "logExl" per-experiment CSV row, appended at train
+  start and filled in by the test driver (`train.py:106-173`,
+  `test_dam.py:777-925`) — stored as honest CSV, not parsed back from paths.
+"""
+from __future__ import annotations
+
+import csv
+import logging
+import os
+
+import numpy as np
+
+
+class AverageMeter:
+    """Vector running average (reference utils.py:755-774)."""
+
+    def __init__(self, shape: int = 1):
+        self.shape = shape
+        self.reset()
+
+    def reset(self):
+        self.val = np.zeros(self.shape)
+        self.avg = np.zeros(self.shape)
+        self.sum = np.zeros(self.shape)
+        self.count = 0
+
+    def update(self, val, n: int = 1):
+        val = np.asarray(val, dtype=np.float64)
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count
+
+
+def setup_logging(save_dir: str, mode: str = "a"):
+    """Console + {save_dir}/train.log logger and epoch-results TSV
+    (reference train.py:482-518). Returns (logger, logger_results)."""
+    os.makedirs(save_dir, exist_ok=True)
+    logger = logging.getLogger("cdnet_tpu")
+    logger.setLevel(logging.DEBUG)
+    logger.handlers.clear()
+    console = logging.StreamHandler()
+    console.setLevel(logging.INFO)
+    console.setFormatter(logging.Formatter("%(message)s"))
+    fileh = logging.FileHandler(os.path.join(save_dir, "train.log"), mode=mode)
+    fileh.setLevel(logging.DEBUG)
+    fileh.setFormatter(logging.Formatter("%(asctime)s\t%(message)s", "%Y-%m-%d %H:%M"))
+    logger.addHandler(console)
+    logger.addHandler(fileh)
+
+    logger_results = logging.getLogger("cdnet_tpu_results")
+    logger_results.setLevel(logging.DEBUG)
+    logger_results.handlers.clear()
+    rfile = logging.FileHandler(os.path.join(save_dir, "epoch_results.txt"), mode=mode)
+    rfile.setFormatter(logging.Formatter("%(message)s"))
+    logger_results.addHandler(rfile)
+    return logger, logger_results
+
+
+class ExperimentCSV:
+    """Append/update one row per experiment in a wide CSV (logExl parity)."""
+
+    def __init__(self, path: str, key_field: str = "exp_filename"):
+        self.path = path
+        self.key_field = key_field
+
+    def _read(self):
+        if not os.path.exists(self.path):
+            return [], []
+        with open(self.path, newline="") as f:
+            reader = csv.DictReader(f)
+            return list(reader.fieldnames or []), list(reader)
+
+    def upsert(self, key: str, values: dict):
+        fields, rows = self._read()
+        values = {self.key_field: key, **{k: str(v) for k, v in values.items()}}
+        for k in values:
+            if k not in fields:
+                fields.append(k)
+        found = False
+        for row in rows:
+            if row.get(self.key_field) == key:
+                row.update(values)
+                found = True
+        if not found:
+            rows.append(values)
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=fields, restval="")
+            writer.writeheader()
+            for row in rows:
+                writer.writerow(row)

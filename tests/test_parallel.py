@@ -1,0 +1,113 @@
+"""Mesh/data-parallel tests: 1-device vs 8-device DP must agree (SURVEY §4e)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cdnet_tpu.config import Config
+from cdnet_tpu.models import choose_model
+from cdnet_tpu.optimizers import get_optimizer, init_params_for
+from cdnet_tpu.parallel import (TrainState, make_eval_step, make_mesh,
+                                make_train_step, replicate, shard_batch)
+
+
+def tiny_cfg():
+    cfg = Config()
+    cfg.model.model_name = "UNet"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.direction = 0
+    cfg.model.mseloss = 0
+    return cfg
+
+
+def make_batch(rng, n=8, hw=32):
+    inst = np.zeros((n, hw, hw), np.int32)
+    for i in range(n):
+        cy, cx = rng.randint(8, hw - 8, 2)
+        yy, xx = np.mgrid[0:hw, 0:hw]
+        inst[i][(yy - cy) ** 2 + (xx - cx) ** 2 <= 25] = 1
+    return {
+        "image": rng.rand(n, hw, hw, 3).astype(np.float32),
+        "weight": np.ones((n, hw, hw), np.float32) * 20,
+        "instance": inst,
+    }
+
+
+def init_state(cfg, model, batch, opt):
+    variables = model.init(jax.random.PRNGKey(0), batch["image"][:1], train=False)
+    params = init_params_for(cfg.train.optimizer, variables["params"])
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=variables["batch_stats"],
+                      opt_state=opt.init(params))
+
+
+class TestDataParallel:
+    def test_eight_devices_available(self):
+        assert len(jax.devices()) == 8
+
+    def test_loss_identical_1_vs_8_devices(self):
+        cfg = tiny_cfg()
+        model = choose_model(cfg)
+        opt = get_optimizer(cfg)
+        rng = np.random.RandomState(0)
+        batch = make_batch(rng)
+        step = make_train_step(model, cfg, opt, max_instances=4)
+
+        # single device
+        mesh1 = make_mesh(devices=jax.devices()[:1])
+        state1 = init_state(cfg, model, batch, opt)
+        s1 = replicate(state1, mesh1)
+        b1 = shard_batch(batch, mesh1)
+        s1, m1 = step(s1, b1)
+
+        # 8-device mesh, batch sharded
+        mesh8 = make_mesh()
+        state8 = init_state(cfg, model, batch, opt)
+        s8 = replicate(state8, mesh8)
+        b8 = shard_batch(batch, mesh8)
+        s8, m8 = step(s8, b8)
+
+        assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+        # params stay in sync after the update
+        p1 = jax.tree.leaves(jax.device_get(s1.params))
+        p8 = jax.tree.leaves(jax.device_get(s8.params))
+        # Elementwise equality after an Adam step is NOT an invariant: for
+        # near-zero gradients, f32 reduction-order noise can flip the update
+        # sign. The DP invariant: almost all params track within 0.1*lr and
+        # none drift beyond 2*lr (one flipped step).
+        lr = cfg.train.lr
+        n_total = n_bad = 0
+        for a, b in zip(p1, p8):
+            d = np.abs(a - b)
+            n_total += d.size
+            n_bad += int((d > 0.1 * lr).sum())
+            assert d.max() <= 2.01 * lr
+        assert n_bad / n_total < 0.01, (n_bad, n_total)
+
+    def test_loss_decreases_over_steps(self):
+        cfg = tiny_cfg()
+        model = choose_model(cfg)
+        opt = get_optimizer(cfg)
+        rng = np.random.RandomState(1)
+        batch = make_batch(rng)
+        mesh = make_mesh()
+        step = make_train_step(model, cfg, opt, max_instances=4)
+        state = replicate(init_state(cfg, model, batch, opt), mesh)
+        b = shard_batch(batch, mesh)
+        losses_seen = []
+        for _ in range(3):
+            state, m = step(state, b)
+            losses_seen.append(float(m["loss"]))
+        assert losses_seen[-1] < losses_seen[0]
+
+    def test_eval_step(self):
+        cfg = tiny_cfg()
+        model = choose_model(cfg)
+        opt = get_optimizer(cfg)
+        rng = np.random.RandomState(2)
+        batch = make_batch(rng, n=8)
+        mesh = make_mesh()
+        state = replicate(init_state(cfg, model, batch, opt), mesh)
+        ev = make_eval_step(model, cfg, max_instances=4)
+        m = ev(state, shard_batch(batch, mesh))
+        assert 0 <= float(m["pixel_iou"]) <= 1
