@@ -3,6 +3,12 @@ from cdnet_tpu.metrics.pixel import (  # noqa: F401
     accuracy_pixel_level,
     compute_pixel_level_metrics,
 )
+from cdnet_tpu.metrics.objects import (  # noqa: F401
+    gland_accuracy_object_level,
+    label_equal_values,
+    nuclei_accuracy_object_level,
+    read_annotation_xml,
+)
 from cdnet_tpu.metrics.instance import (  # noqa: F401
     get_dice_1,
     get_fast_aji,

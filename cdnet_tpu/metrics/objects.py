@@ -1,0 +1,180 @@
+"""Object-level metrics: greedy max-IoU instance matching + Hausdorff.
+
+Exact-semantics ports of the reference's host metrics:
+- `nuclei_accuracy_object_level` (`/root/reference/utils.py:243-330`):
+  SEQUENTIAL greedy matching over GT ids with used-pred removal, unweighted
+  dice/iou/hausdorff averages over matches, and a matched-pairs AJI.
+- `gland_accuracy_object_level` (`utils.py:433-600`): GlaS-style — pred-side
+  TP counting at >=50% GT coverage, then area-weighted dice/iou/hausdorff in
+  both directions with max-OVERLAP matching.
+- `read_annotation_xml` (`utils.py:112-150`): MoNuSeg Aperio XML polygons.
+
+The O(N^2 * H * W) per-instance mask loops of the reference are replaced by
+one bincount contingency table; matching decisions are bit-identical.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.ndimage as ndi
+from scipy.spatial.distance import directed_hausdorff
+
+from cdnet_tpu.metrics.instance import _contingency
+
+
+def label_equal_values(labels: np.ndarray, connectivity: int = 2) -> np.ndarray:
+    """skimage.measure.label semantics on an int image: connected regions of
+    EQUAL nonzero value get distinct ids (touching different values stay
+    separate)."""
+    labels = np.asarray(labels)
+    out = np.zeros(labels.shape, np.int32)
+    structure = ndi.generate_binary_structure(2, connectivity)
+    nxt = 0
+    for v in np.unique(labels):
+        if v == 0:
+            continue
+        cc, n = ndi.label(labels == v, structure=structure)
+        out[cc > 0] = cc[cc > 0] + nxt
+        nxt += n
+    return out
+
+
+def _haus(a_pts: np.ndarray, b_pts: np.ndarray) -> float:
+    return float(max(directed_hausdorff(a_pts, b_pts)[0],
+                     directed_hausdorff(b_pts, a_pts)[0]))
+
+
+def nuclei_accuracy_object_level(pred: np.ndarray, gt: np.ndarray,
+                                 compute_hausdorff: bool = True):
+    """(recall, precision, F1, dice, iou, hausdorff, AJI) — utils.py:243-330."""
+    pred_labeled = label_equal_values(pred)
+    gt_labeled = label_equal_values(gt)
+    inter, gt_sizes, pred_sizes, n_gt, n_pred = _contingency(gt_labeled,
+                                                             pred_labeled)
+    tp = fn = 0.0
+    dice = iou = haus = 0.0
+    c_sum = u_sum = 0.0
+    count = 0.0
+    used = np.zeros(n_pred, bool)
+    for i in range(n_gt):
+        row = np.where(used, 0.0, inter[i]) if n_pred else np.zeros(0)
+        if n_pred == 0 or row.sum() == 0:
+            fn += 1
+            u_sum += gt_sizes[i]
+            continue
+        cand = np.nonzero(row > 0)[0]
+        ious = row[cand] / (pred_sizes[cand] + gt_sizes[i] - row[cand])
+        k = cand[int(np.argmax(ious))]  # first max (strictly-greater update)
+        overlap = row[k]
+        tp += 1
+        count += 1
+        dice += 2 * overlap / (pred_sizes[k] + gt_sizes[i])
+        iou += overlap / (pred_sizes[k] + gt_sizes[i] - overlap)
+        if compute_hausdorff:
+            haus += _haus(np.argwhere(pred_labeled == k + 1),
+                          np.argwhere(gt_labeled == i + 1))
+        c_sum += overlap
+        u_sum += pred_sizes[k] + gt_sizes[i] - overlap
+        used[k] = True
+
+    fp = n_pred - tp
+    recall = tp / (tp + fn + 1e-10)
+    precision = tp / (tp + fp + 1e-10)
+    f1 = 2 * tp / (2 * tp + fp + fn + 1e-10)
+    count = count or 1.0
+    dice /= count
+    iou /= count
+    haus /= count
+    u_sum += pred_sizes[~used].sum()
+    aji = c_sum / u_sum if u_sum else 0.0
+    return recall, precision, f1, dice, iou, haus, aji
+
+
+def gland_accuracy_object_level(pred: np.ndarray, gt: np.ndarray):
+    """(recall, precision, F1, dice, iou, hausdorff) — utils.py:433-600."""
+    pred_labeled = label_equal_values(pred, connectivity=2)
+    gt_labeled = label_equal_values(gt, connectivity=2)
+    # remove 1-2 px noise from gt, then relabel (utils.py:446-448)
+    sizes = np.bincount(gt_labeled.ravel())
+    small = np.nonzero(sizes < 3)[0]
+    gt_labeled[np.isin(gt_labeled, small)] = 0
+    gt_labeled = label_equal_values(gt_labeled, connectivity=2)
+
+    inter, gt_sizes, pred_sizes, n_gt, n_pred = _contingency(gt_labeled,
+                                                             pred_labeled)
+    # --- F1: per-pred max-overlap GT must be >=50% covered (utils.py:453-492)
+    tp = fp = 0.0
+    for j in range(n_pred):
+        col = inter[:, j] if n_gt else np.zeros(0)
+        if n_gt == 0 or col.sum() == 0:
+            fp += 1
+            continue
+        i = int(np.argmax(col))
+        if col[i] / gt_sizes[i] >= 0.5:
+            tp += 1
+        else:
+            fp += 1
+    fn = n_gt - tp
+    if tp == 0:
+        precision = recall = f1 = 0.0
+    else:
+        precision = tp / (tp + fp)
+        recall = tp / (tp + fn)
+        f1 = 2 * precision * recall / (precision + recall)
+
+    gt_total = gt_sizes.sum() or 1.0
+    pred_total = pred_sizes.sum() or 1.0
+
+    def side(rows_inter, a_sizes, b_sizes, a_labeled, b_labeled, a_total):
+        """One direction of the area-weighted dice/iou/hausdorff sweep."""
+        d = v = h = 0.0
+        n_a, n_b = rows_inter.shape
+        for i in range(n_a):
+            row = rows_inter[i]
+            w = a_sizes[i] / a_total
+            if n_b == 0 or row.sum() == 0:
+                # nearest object by hausdorff (utils.py:507-529)
+                a_pts = np.argwhere(a_labeled == i + 1)
+                min_h = 1e5
+                for j in range(n_b):
+                    min_h = min(min_h, _haus(np.argwhere(b_labeled == j + 1),
+                                             a_pts))
+                h += w * (min_h if n_b else 0.0)
+                continue
+            j = int(np.argmax(row))  # max OVERLAP, not max IoU
+            o = row[j]
+            d += w * (2 * o / (b_sizes[j] + a_sizes[i]))
+            v += w * (o / (b_sizes[j] + a_sizes[i] - o))
+            h += w * _haus(np.argwhere(b_labeled == j + 1),
+                           np.argwhere(a_labeled == i + 1))
+        return d, v, h
+
+    dice_g, iou_g, haus_g = side(inter, gt_sizes, pred_sizes,
+                                 gt_labeled, pred_labeled, gt_total)
+    dice_s, iou_s, haus_s = side(inter.T, pred_sizes, gt_sizes,
+                                 pred_labeled, gt_labeled, pred_total)
+    return (recall, precision, f1, (dice_g + dice_s) / 2,
+            (iou_g + iou_s) / 2, (haus_g + haus_s) / 2)
+
+
+def read_annotation_xml(path: str, shape: tuple[int, int]) -> np.ndarray:
+    """MoNuSeg Aperio XML -> instance mask (reference utils.py:112-150).
+
+    Each <Region> polygon becomes one instance id, rasterized by PIL polygon
+    fill (the reference uses cv2 drawContours; identical for simple polygons).
+    """
+    import xml.etree.ElementTree as ET
+    from PIL import Image, ImageDraw
+
+    tree = ET.parse(path)
+    root = tree.getroot()
+    canvas = Image.new("I", (shape[1], shape[0]), 0)
+    draw = ImageDraw.Draw(canvas)
+    inst = 0
+    for region in root.iter("Region"):
+        pts = [(float(v.attrib["X"]), float(v.attrib["Y"]))
+               for v in region.iter("Vertex")]
+        if len(pts) < 3:
+            continue
+        inst += 1
+        draw.polygon(pts, fill=inst)
+    return np.asarray(canvas, dtype=np.int32)

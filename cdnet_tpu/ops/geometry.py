@@ -167,6 +167,81 @@ def sobel_kernel(ksize: int = 11) -> jnp.ndarray:
     return jnp.asarray(_sobel_numpy(ksize)[:, :, None, :])
 
 
+def angle_to_offset(angle_map: jnp.ndarray, distance_map: jnp.ndarray | None = None,
+                    num_classes: int = 8, max_distance: int = 5,
+                    min_distance: int = 0) -> jnp.ndarray:
+    """Angles -> integer offset vectors, zeroed outside the distance band.
+
+    Parity with `DTOffsetHelper.angle_to_offset` (SegFix_offset_helper.py:
+    344-390) with scale=1.
+    """
+    _, idx = align_angle(angle_map, num_classes)
+    vec = label_to_vector_table(num_classes)[idx]
+    if distance_map is not None:
+        ok = (distance_map <= max_distance) & (distance_map >= min_distance)
+        vec = jnp.where(ok[..., None], vec, 0)
+    return vec
+
+
+def distance_to_mask_label(distance_map: jnp.ndarray, seg_label_map: jnp.ndarray,
+                           max_distance: int = 5, min_distance: int = 0) -> jnp.ndarray:
+    """Distance band -> binary mask label with -1 ignore
+    (SegFix_offset_helper.py:263-284)."""
+    keep = (distance_map <= max_distance) & (distance_map >= min_distance)
+    out = jnp.where(keep, 1, 0)
+    return jnp.where(seg_label_map == -1, -1, out)
+
+
+def distance_to_energy_label(distance_map: jnp.ndarray, seg_label_map: jnp.ndarray,
+                             energy_level_step: int = 5,
+                             max_distance: int = 5) -> jnp.ndarray:
+    """Distance -> quantized energy level with -1 ignore
+    (SegFix_offset_helper.py:191-219)."""
+    num_levels = max_distance // energy_level_step + 1
+    lvl = jnp.clip(
+        (distance_map // energy_level_step).astype(jnp.int32), 0, num_levels - 2
+    ) if num_levels > 1 else jnp.zeros(distance_map.shape, jnp.int32)
+    lvl = jnp.where(distance_map >= max_distance, num_levels - 1, lvl)
+    return jnp.where(seg_label_map == -1, -1, lvl)
+
+
+def encode_multi_labels(dir_labels: jnp.ndarray) -> jnp.ndarray:
+    """uint8 bitmask -> 8 binary channels (SegFix_offset_helper.py:137-148)."""
+    bits = jnp.arange(8, dtype=jnp.int32)
+    return ((dir_labels[..., None].astype(jnp.int32) & (1 << bits)) != 0
+            ).astype(jnp.int32)
+
+
+def edge_mask_to_vector(edge_mask: jnp.ndarray, ksize: int = 11,
+                        normalized: bool = True) -> jnp.ndarray:
+    """Edge mask -> Sobel offset field (SegFix_offset_helper.py:150-168).
+
+    ``edge_mask``: (..., H, W), 1 = edge. Returns (..., H, W, 2).
+    """
+    field = 1.0 - jnp.clip(edge_mask.astype(jnp.float32), 0.0, 1.0)
+    grad = sobel_gradients(field, ksize)
+    if normalized:
+        norm = jnp.sqrt(jnp.sum(grad ** 2, axis=-1, keepdims=True))
+        grad = grad / jnp.maximum(norm, 1e-12)
+    return grad
+
+
+def logits_to_vector(dir_logits: jnp.ndarray, num_classes: int = 8) -> jnp.ndarray:
+    """Direction logits -> expected unit offset vector
+    (SegFix_offset_helper.py:221-237). ``dir_logits``: (..., num_classes)."""
+    probs = jax.nn.softmax(dir_logits, axis=-1)
+    table = label_to_vector_table(num_classes).astype(jnp.float32)
+    vec = probs @ table  # (..., 2)
+    norm = jnp.sqrt(jnp.sum(vec ** 2, axis=-1, keepdims=True))
+    return vec / jnp.maximum(norm, 1e-12)
+
+
+def get_opposite_angle(angle_map: jnp.ndarray) -> jnp.ndarray:
+    """Angle + 180 wrapped to (-180, 180] (SegFix_offset_helper.py:239-244)."""
+    new = angle_map + 180.0
+    return jnp.where((new >= 180.0) & (new <= 360.0), new - 360.0, new)
+
+
 def sobel_gradients(field: jnp.ndarray, ksize: int = 11) -> jnp.ndarray:
     """Cross-correlate a (..., H, W) scalar field with the Sobel bank.
 
