@@ -5,6 +5,8 @@ import jax.numpy as jnp
 
 from cdnet_tpu.models.fullnet import FCNPooling, FullNet
 from cdnet_tpu.models.hrnet import HRNet18DAM
+from cdnet_tpu.models.legacy import FCN8, DeepLabV3Plus, PSPNet, SegNet
+from cdnet_tpu.models.resnet import ResNetBackbone, UNetResNet
 from cdnet_tpu.models.unet import UNet
 from cdnet_tpu.models.vgg_unet import UNetVGG16, make_vgg_variant
 
@@ -40,6 +42,18 @@ def choose_model(cfg):
     if name == "HRNet18_rev1":
         return HRNet18DAM(out_c=m.out_c, direction_classes=m.direction_classes,
                           dtype=dtype)
+    if name == "HRNet18":  # plain HRNet head (seg_hrnet.py)
+        return HRNet18DAM(out_c=m.out_c, with_dam=False, dtype=dtype)
+    if name in ("UNet_resnet50", "UNet_resnet101"):
+        return UNetResNet(out_c=m.out_c, variant=name.split("_")[1], dtype=dtype)
+    if name == "SegNet":
+        return SegNet(num_classes=m.out_c, dtype=dtype)
+    if name == "PSPNet":
+        return PSPNet(num_classes=m.out_c, dtype=dtype)
+    if name == "DeepLab":
+        return DeepLabV3Plus(num_classes=m.out_c, dtype=dtype)
+    if name == "FCN8":
+        return FCN8(num_classes=m.out_c, dtype=dtype)
     raise ValueError(f"unknown modelName: {name}")
 
 

@@ -88,3 +88,32 @@ class TestParams:
         out, mutated = model.apply(variables, x, train=True,
                                    mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)})
         assert "batch_stats" in mutated
+
+
+class TestExtendedZoo:
+    @pytest.mark.parametrize("name", ["UNet_resnet50", "SegNet", "PSPNet",
+                                      "DeepLab", "FCN8", "HRNet18"])
+    def test_forward_shapes(self, name):
+        model = choose_model(cfg_for(name))
+        _, out = _init_apply(model, (1, 64, 64, 3))
+        assert out["mask"].shape == (1, 64, 64, 3), name
+
+    def test_resnet101_variant(self):
+        model = choose_model(cfg_for("UNet_resnet101"))
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                               train=False)
+        # resnet101 has 23 layer3 blocks
+        names = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+        keys = {p[0].key for p in [k for k, _ in names]}
+        assert "backbone" in keys
+
+    def test_segnet_unpool_roundtrip(self):
+        from cdnet_tpu.models.legacy import _pool_with_indices, _unpool_with_indices
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 2), jnp.float32)
+        p, idx = _pool_with_indices(x)
+        up = _unpool_with_indices(p, idx)
+        # unpooled maxima sit at their original positions
+        assert up.shape == x.shape
+        np.testing.assert_allclose(np.asarray(up).max(), np.asarray(x).max())
+        mask = np.asarray(up) != 0
+        np.testing.assert_allclose(np.asarray(x)[mask], np.asarray(up)[mask])
