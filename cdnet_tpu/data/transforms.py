@@ -76,6 +76,80 @@ class RandomHorizontalFlip:
         return imgs
 
 
+class RandomVerticalFlip:
+    """Flip ALL items together with p=0.5 (my_transforms_direction.py:243-261)."""
+
+    def __init__(self, rng: np.random.RandomState):
+        self.rng = rng
+
+    def __call__(self, imgs):
+        if self.rng.rand() < 0.5:
+            return tuple(np.ascontiguousarray(np.asarray(i)[::-1])
+                         for i in imgs)
+        return imgs
+
+
+class RandomAffine:
+    """Random centered affine with bounded coefficients, no translation
+    (my_transforms_direction.py:185-222). PIL Image.transform AFFINE maps
+    output coords through [a,b,c;d,e,f] to input coords."""
+
+    def __init__(self, rng: np.random.RandomState, bound: float = 0.3):
+        if bound < 0 or bound > 0.5:
+            raise ValueError("Bound is invalid, should be in range [0, 0.5)")
+        self.rng = rng
+        self.bound = bound
+
+    def __call__(self, imgs):
+        first = _to_pil(imgs[0])
+        x, y = first.size
+        a = 1 + 2 * self.bound * (self.rng.rand() - 0.5)
+        b = 2 * self.bound * (self.rng.rand() - 0.5)
+        d = 2 * self.bound * (self.rng.rand() - 0.5)
+        e = 1 + 2 * self.bound * (self.rng.rand() - 0.5)
+        c = -a * x / 2 - b * y / 2 + x / 2
+        f = -d * x / 2 - e * y / 2 + y / 2
+        mat = [a, b, c, d, e, f]
+        return tuple(
+            np.asarray(_to_pil(i).transform((x, y), Image.AFFINE, mat,
+                                            resample=Image.NEAREST))
+            for i in imgs)
+
+
+class RandomRotation:
+    """Rotate all items by one random angle (my_transforms_direction.py:354-443);
+    nearest resampling so label values stay exact."""
+
+    def __init__(self, rng: np.random.RandomState, degrees: float = 90.0):
+        self.rng = rng
+        self.degrees = (-degrees, degrees)
+
+    def __call__(self, imgs):
+        angle = self.rng.uniform(*self.degrees)
+        return tuple(
+            np.asarray(_to_pil(i).rotate(angle, resample=Image.NEAREST))
+            for i in imgs)
+
+
+class RandomResize:
+    """Scale all items by a random factor in [lb, ub]
+    (my_transforms.py random_resize semantics)."""
+
+    def __init__(self, rng: np.random.RandomState, lb: float = 0.8,
+                 ub: float = 1.25):
+        self.rng = rng
+        self.lb, self.ub = lb, ub
+
+    def __call__(self, imgs):
+        scale = self.rng.uniform(self.lb, self.ub)
+        first = _to_pil(imgs[0])
+        w, h = first.size
+        ow, oh = int(w * scale), int(h * scale)
+        return tuple(
+            np.asarray(_to_pil(i).resize((ow, oh), Image.NEAREST))
+            for i in imgs)
+
+
 class RandomElastic:
     """Joint elastic deformation, albumentations ElasticTransform semantics
     (alpha=1, sigma=50, alpha_affine=50, nearest interpolation, constant-0
@@ -201,6 +275,10 @@ def get_transforms(names, input_size: int = 256, seed: int = 2022,
         "random_color": lambda: RandomColor(rng),
         "random_chooseAug": lambda: RandomChooseAug(rng),
         "horizontal_flip": lambda: RandomHorizontalFlip(rng),
+        "vertical_flip": lambda: RandomVerticalFlip(rng),
+        "random_affine": lambda: RandomAffine(rng),
+        "random_rotation": lambda: RandomRotation(rng),
+        "random_resize": lambda: RandomResize(rng),
         "random_elastic": lambda: RandomElastic(rng),
         "random_crop": lambda: RandomCrop(rng, input_size),
         "to_tensor": lambda: ToArrays(),

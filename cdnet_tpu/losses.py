@@ -153,6 +153,46 @@ def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((pred - target) ** 2)
 
 
+def _ssim_window(window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
+    g = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    g = g / jnp.sum(g)
+    return jnp.outer(g, g)
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Structural similarity (hhl_utils/pytorch_ssim.py parity: 11x11 gaussian
+    window sigma 1.5, per-channel depthwise conv, C1/C2 for dynamic range 1).
+
+    Inputs (N, H, W, C) in [0, 1]; returns the mean SSIM index.
+    """
+    w = _ssim_window(window_size)
+    c = img1.shape[-1]
+    kern = jnp.tile(w[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
+
+    def dconv(x):
+        return jax.lax.conv_general_dilated(
+            x, kern, (1, 1),
+            [(window_size // 2, window_size // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+
+    mu1, mu2 = dconv(img1), dconv(img2)
+    mu1_sq, mu2_sq, mu12 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    s1 = dconv(img1 * img1) - mu1_sq
+    s2 = dconv(img2 * img2) - mu2_sq
+    s12 = dconv(img1 * img2) - mu12
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    return jnp.mean(ssim_map)
+
+
+def ssim_loss(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """1 - SSIM (the optional SSIM path in train_util.py)."""
+    return 1.0 - ssim(img1, img2)
+
+
 def composite_loss(outputs: dict, targets: dict, cfg) -> tuple[jnp.ndarray, dict]:
     """The CDNet training loss (SURVEY.md §3.2; train_util_dam.py:167-276).
 

@@ -72,3 +72,67 @@ def instances_from_pred(pred: jnp.ndarray, min_area: int = 20, radius: int = 2,
         labels, _ = cc_label(pred2, connectivity=2)
     labels = dilation(labels, radius)
     return labels, pred2
+
+
+def _diamond_dilation(labels: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Label dilation with an L1-diamond structuring element (the dcan
+    k_disk, postproc_other.py:83-91, is |dy|+|dx| <= 3, not a Euclidean disk)."""
+    from cdnet_tpu.ops.morphology import _shift2d
+    out = labels
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if abs(dy) + abs(dx) > radius or (dy == 0 and dx == 0):
+                continue
+            out = jnp.maximum(out, _shift2d(labels, dy, dx, 0))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("min_size",))
+def process_dcan(blb: jnp.ndarray, cnt: jnp.ndarray, min_size: int = 10):
+    """DCAN post-processing (postproc_other.py:69-97): instances from
+    (blob - contour) > 0.3, small-object removal, diamond dilation + hole
+    filling per instance (ascending-id overwrite == max-label rule)."""
+    mask = (blb - cnt) > 0.3
+    labels, _ = cc_label(mask, connectivity=1)
+    labels = remove_small_objects(labels, min_size)
+    labels = _diamond_dilation(labels, 3)
+    # per-instance fill holes == fill holes of the union, keeping owner labels
+    filled = binary_fill_holes(labels > 0)
+    holes = filled & (labels == 0)
+    # assign hole pixels the surrounding label via repeated dilation
+    def cond(state):
+        lab, changed = state
+        return changed
+
+    def body(state):
+        lab, _ = state
+        grown = _diamond_dilation(lab, 1)
+        new = jnp.where(holes & (lab == 0), grown, lab)
+        return new, jnp.any(new != lab)
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.array(True)))
+    return labels
+
+
+@functools.partial(jax.jit, static_argnames=("min_size",))
+def process_micronet(pred: jnp.ndarray, min_size: int = 10):
+    """Micro-Net post-processing (postproc_other.py:50-68): fill holes, CC,
+    remove-small, then cross-kernel dilation + hole fill per instance."""
+    mask = binary_fill_holes(pred > 0.5)
+    labels, _ = cc_label(mask, connectivity=1)
+    labels = remove_small_objects(labels, min_size)
+    labels = _diamond_dilation(labels, 1)  # 3x3 cross kernel
+    filled = binary_fill_holes(labels > 0)
+    holes = filled & (labels == 0)
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        lab, _ = state
+        grown = _diamond_dilation(lab, 1)
+        new = jnp.where(holes & (lab == 0), grown, lab)
+        return new, jnp.any(new != lab)
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.array(True)))
+    return labels

@@ -99,6 +99,35 @@ def invert(outputs_8hwc: jnp.ndarray) -> jnp.ndarray:
     return outputs_8hwc[view_idx, jnp.asarray(g[..., 0]), jnp.asarray(g[..., 1])]
 
 
+#  DcmVoting (utils.py:1112-1139): numberListAll[i][j-1] = source class in
+#  view i that becomes class j in the identity frame (class 0 passes through)
+_NUMBER_LIST_ALL = jnp.asarray([
+    [1, 2, 3, 4, 5, 6, 7, 8], [5, 4, 3, 2, 1, 8, 7, 6],
+    [1, 8, 7, 6, 5, 4, 3, 2], [5, 6, 7, 8, 1, 2, 3, 4],
+    [7, 8, 1, 2, 3, 4, 5, 6], [7, 6, 5, 4, 3, 2, 1, 8],
+    [3, 2, 1, 8, 7, 6, 5, 4], [3, 4, 5, 6, 7, 8, 1, 2],
+], dtype=jnp.int32)
+
+
+def dcm_voting(direction_maps_8hw: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel MODE over remapped TTA direction maps (utils.py:1112-1139).
+
+    View 0 passes through unchanged; views 1..7 remap class
+    ``numberListAll[i][j]`` -> ``j+1``. Ties resolve to the smallest class
+    (scipy.stats.mode semantics).
+    """
+    d = direction_maps_8hw.astype(jnp.int32)
+    remapped = [d[0]]
+    for i in range(1, 8):
+        out = jnp.zeros_like(d[i])
+        for j in range(8):
+            out = jnp.where(d[i] == _NUMBER_LIST_ALL[i, j], j + 1, out)
+        remapped.append(out)
+    stack = jnp.stack(remapped)
+    counts = jnp.stack([(stack == k).sum(0) for k in range(9)])
+    return jnp.argmax(counts, axis=0)
+
+
 def dcm_voting2(direction_maps_8hw: jnp.ndarray) -> jnp.ndarray:
     """Majority vote over TTA direction-class maps (utils.py:1144-1159).
 

@@ -1,0 +1,160 @@
+"""Aux parity: SSIM, Reinhard stain norm, dcan/micronet postproc, transforms,
+DcmVoting, profiling."""
+import numpy as np
+import pytest
+
+from cdnet_tpu import losses
+from cdnet_tpu.data import transforms as TR
+from cdnet_tpu.ops import postproc, stain, tta
+from cdnet_tpu.utils.profiling import Timer
+
+
+class TestSSIM:
+    def test_identical_images(self, rng):
+        img = rng.rand(1, 32, 32, 3).astype(np.float32)
+        assert float(losses.ssim(img, img)) == pytest.approx(1.0, abs=1e-4)
+
+    def test_vs_torch_oracle(self, rng):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+        from math import exp
+
+        img1 = rng.rand(1, 24, 24, 1).astype(np.float32)
+        img2 = np.clip(img1 + rng.randn(1, 24, 24, 1).astype(np.float32) * 0.1, 0, 1)
+        got = float(losses.ssim(img1, img2))
+        # pytorch_ssim oracle
+        ws, sigma = 11, 1.5
+        g = torch.Tensor([exp(-(x - ws // 2) ** 2 / (2 * sigma ** 2))
+                          for x in range(ws)])
+        g = (g / g.sum()).unsqueeze(1)
+        win = g.mm(g.t()).unsqueeze(0).unsqueeze(0)
+        t1 = torch.from_numpy(np.transpose(img1, (0, 3, 1, 2)))
+        t2 = torch.from_numpy(np.transpose(img2, (0, 3, 1, 2)))
+        mu1 = F.conv2d(t1, win, padding=5)
+        mu2 = F.conv2d(t2, win, padding=5)
+        s1 = F.conv2d(t1 * t1, win, padding=5) - mu1 ** 2
+        s2 = F.conv2d(t2 * t2, win, padding=5) - mu2 ** 2
+        s12 = F.conv2d(t1 * t2, win, padding=5) - mu1 * mu2
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+            (mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))
+        want = float(m.mean())
+        assert got == pytest.approx(want, abs=1e-4)
+
+
+class TestStain:
+    def test_lab_roundtrip(self, rng):
+        img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        lab = stain.rgb2lab(img)
+        back = (stain.lab2rgb(lab) * 255)
+        np.testing.assert_allclose(back, img, atol=1.0)
+
+    def test_normalizer_matches_target_stats(self, rng):
+        target = (rng.rand(32, 32, 3) * 200 + 30).astype(np.uint8)
+        src = (rng.rand(32, 32, 3) * 100 + 100).astype(np.uint8)
+        n = stain.ReinhardNormalizer()
+        n.fit(target)
+        out = n.transform(src)
+        lab_out = stain.rgb2lab(out)
+        # means move toward target means (gamut clipping prevents exactness)
+        np.testing.assert_allclose(lab_out.mean((0, 1)), n.target_means, atol=6.0)
+
+    def test_style_transfer_rate(self, rng):
+        ori = (rng.rand(4, 16, 16, 3) * 255).astype(np.uint8)
+        sty = (rng.rand(4, 16, 16, 3) * 255).astype(np.uint8)
+        out = stain.style_transfer(ori.copy(), sty, transfer_rate=0.5)
+        np.testing.assert_array_equal(out[0], ori[0])  # untouched half
+        assert not np.array_equal(out[3], ori[3])
+
+
+class TestDcanMicronet:
+    def test_dcan_splits_by_contour(self):
+        blb = np.zeros((32, 32), np.float32)
+        blb[4:28, 4:28] = 1.0
+        cnt = np.zeros_like(blb)
+        cnt[4:28, 15:17] = 1.0  # contour wall splits the blob
+        lab = np.asarray(postproc.process_dcan(blb, cnt))
+        ids = np.unique(lab)
+        assert len(ids) == 3  # bg + 2 instances
+        # dilation + hole fill rejoins across the 2px wall partially; centers differ
+        assert lab[16, 8] != lab[16, 24]
+
+    def test_micronet_labels_blobs(self):
+        pred = np.zeros((24, 24), np.float32)
+        pred[2:10, 2:10] = 1.0
+        pred[14:22, 14:22] = 1.0
+        lab = np.asarray(postproc.process_micronet(pred))
+        assert len(np.unique(lab)) == 3
+
+
+class TestTransformsExtra:
+    def _triple(self, rng, n=48):
+        img = (rng.rand(n, n, 3) * 255).astype(np.uint8)
+        wmap = (rng.rand(n, n) * 255).astype(np.uint8)
+        inst = np.zeros((n, n), np.int32)
+        inst[10:20, 10:20] = 1
+        return img, wmap, inst
+
+    def test_vertical_flip_joint(self):
+        rng = np.random.RandomState(0)
+        t = TR.RandomVerticalFlip(np.random.RandomState(1))  # first rand < 0.5
+        sample = self._triple(rng)
+        out = t(sample)
+        if not np.array_equal(out[0], sample[0]):
+            np.testing.assert_array_equal(np.asarray(out[2]),
+                                          np.asarray(sample[2])[::-1])
+
+    def test_affine_preserves_labels(self):
+        rng = np.random.RandomState(0)
+        t = TR.RandomAffine(np.random.RandomState(2), bound=0.2)
+        out = t(self._triple(rng))
+        assert set(np.unique(out[2])).issubset({0, 1})
+
+    def test_rotation_preserves_labels(self):
+        rng = np.random.RandomState(0)
+        t = TR.RandomRotation(np.random.RandomState(3))
+        out = t(self._triple(rng))
+        assert set(np.unique(out[2])).issubset({0, 1})
+        assert out[2].shape == (48, 48)
+
+    def test_resize(self):
+        rng = np.random.RandomState(0)
+        t = TR.RandomResize(np.random.RandomState(4), lb=0.5, ub=0.5)
+        out = t(self._triple(rng))
+        assert out[0].shape[0] == 24
+
+    def test_full_stack_runs(self):
+        rng = np.random.RandomState(0)
+        tf = TR.get_transforms(
+            ["random_color", "random_chooseAug", "horizontal_flip",
+             "vertical_flip", "random_rotation", "random_elastic",
+             "random_crop", "to_tensor"], input_size=32, seed=0)
+        img, wmap, inst = self._triple(rng)
+        out = tf((img, wmap, inst))
+        assert out[0].shape == (32, 32, 3) and out[0].dtype == np.float32
+        assert out[0].max() <= 1.0
+        assert out[2].dtype == np.int32
+
+
+class TestDcmVotingMode:
+    def test_consensus(self):
+        d = np.zeros((8, 4, 4), np.int32)
+        table = np.asarray(tta._NUMBER_LIST_ALL)
+        # make every view display the class that remaps to 5
+        d[0] = 5
+        for i in range(1, 8):
+            d[i] = table[i, 4]  # numberListAll[i][j] -> j+1; j=4 -> class 5
+        out = np.asarray(tta.dcm_voting(d))
+        assert (out == 5).all()
+
+
+class TestTimer:
+    def test_phases(self):
+        t = Timer()
+        with t.phase("a"):
+            pass
+        with t.phase("a"):
+            pass
+        s = t.summary()
+        assert s["a"]["count"] == 2
+        assert "a" in t.report()
