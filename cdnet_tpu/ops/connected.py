@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cdnet_tpu.ops.morphology import _shift2d
+from cdnet_tpu.ops.morphology import shifted_views
 
 _INF = jnp.int32(2 ** 30)
 
@@ -45,8 +45,8 @@ def _neighbor_min(vals: jnp.ndarray, mask: jnp.ndarray, connectivity: int) -> jn
     if connectivity == 2:
         offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
     out = vals
-    for dy, dx in offs:
-        out = jnp.minimum(out, _shift2d(vals, dy, dx, _INF))
+    for _, view in shifted_views(vals, offs, _INF):
+        out = jnp.minimum(out, view)
     return jnp.where(mask, out, _INF)
 
 

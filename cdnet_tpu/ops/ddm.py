@@ -10,10 +10,10 @@ set of padded slices inside one jit program, batchable over TTA views with
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cdnet_tpu.ops.geometry import label_to_vector
-from cdnet_tpu.ops.morphology import _shift2d
 
 # feature_k[i, j] = orig[i + dy, j + dx]; our _shift2d(x, s_h, s_w) gives
 # out[i, j] = x[i - s_h, j - s_w], so shift = (-dy, -dx).
@@ -39,11 +39,15 @@ def generate_dd_map(label_direction: jnp.ndarray, direction_classes: int = 9) ->
     center = vec
     center_norm = jnp.sqrt(center[..., 0] ** 2 + center[..., 1] ** 2)
     min_cos = jnp.full(label_direction.shape, jnp.inf, dtype=jnp.float32)
+    # pad once; each neighbor is a static slice (feature_k[p] = orig[p + d])
+    vh = jnp.pad(vec[..., 0], 1)
+    vw = jnp.pad(vec[..., 1], 1)
+    h, w = label_direction.shape[-2], label_direction.shape[-1]
     for dy, dx in neighbors:
-        nb = jnp.stack(
-            [_shift2d(vec[..., c], -dy, -dx, 0.0) for c in (0, 1)], axis=-1)
-        dot = center[..., 0] * nb[..., 0] + center[..., 1] * nb[..., 1]
-        nb_norm = jnp.sqrt(nb[..., 0] ** 2 + nb[..., 1] ** 2)
+        nb_h = jax.lax.dynamic_slice(vh, (1 + dy, 1 + dx), (h, w))
+        nb_w = jax.lax.dynamic_slice(vw, (1 + dy, 1 + dx), (h, w))
+        dot = center[..., 0] * nb_h + center[..., 1] * nb_w
+        nb_norm = jnp.sqrt(nb_h ** 2 + nb_w ** 2)
         cos = dot / (center_norm * nb_norm + 1e-6)
         min_cos = jnp.minimum(min_cos, cos)
 

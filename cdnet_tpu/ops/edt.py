@@ -115,13 +115,12 @@ def distance_to_different_label(labels: jnp.ndarray) -> jnp.ndarray:
     """Squared distance from every pixel to the nearest pixel of another label."""
     labels = jnp.asarray(labels, dtype=jnp.int32)
     # seeds: pixels 8-adjacent to a different label
+    from cdnet_tpu.ops.morphology import shifted_views
+    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0)]
     diff = jnp.zeros(labels.shape, bool)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            nb = _shift2d(labels, dy, dx, -1)
-            diff = diff | ((nb != labels) & (nb >= 0))
+    for _, nb in shifted_views(labels, offs, -1):
+        diff = diff | ((nb != labels) & (nb >= 0))
     (h1, w1, l1, d1), (h2, w2, l2, d2) = _two_nearest_distinct(diff, labels)
     use1 = l1 != labels
     return jnp.where(use1, d1, d2)

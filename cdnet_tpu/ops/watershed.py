@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cdnet_tpu.ops.morphology import _shift2d
+from cdnet_tpu.ops.morphology import shifted_views
 
 _OFFS_4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
 
@@ -47,8 +47,8 @@ def watershed(dist: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
         def body(state):
             lab, _ = state
             nb = lab
-            for dy, dx in _OFFS_4:
-                nb = jnp.maximum(nb, _shift2d(lab, dy, dx, 0))
+            for _, view in shifted_views(lab, _OFFS_4, 0):
+                nb = jnp.maximum(nb, view)
             new = jnp.where(candidates & (lab == 0), nb, lab)
             return new, jnp.any(new != lab)
 
