@@ -67,12 +67,23 @@ def main():
     for _ in range(2):
         run_once(img)
 
+    # serialized latency (fetch each tile before dispatching the next)
     iters = 10
     t0 = time.time()
     for _ in range(iters):
         n_inst, res = run_once(img)
     dt = time.time() - t0
+    lat_tiles_per_sec = iters / dt
+    print(f"serialized: {lat_tiles_per_sec:.3f} tiles/s", file=sys.stderr)
+
+    # pipelined throughput: dispatch all tiles, then drain — each tile still
+    # runs the full pipeline; device-side queueing overlaps host round-trips
+    t0 = time.time()
+    maxes = [jnp.max(pipeline(img)["instances"]) for _ in range(iters)]
+    _ = [int(jax.device_get(m)) for m in maxes]
+    dt = time.time() - t0
     tiles_per_sec = iters / dt
+    print(f"pipelined: {tiles_per_sec:.3f} tiles/s", file=sys.stderr)
     print(f"{iters} tiles in {dt:.2f}s; last tile instances={n_inst}",
           file=sys.stderr)
 
