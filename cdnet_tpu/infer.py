@@ -221,6 +221,13 @@ def main(argv=None):
         with open(os.path.join(cfg.test.save_dir, "result.txt"), "w") as f:
             for k, v in summary.items():
                 f.write(f"{k}: {v:.4f}\n")
+        # logExl write-back parity (test_dam.py:777-925): fill the experiment
+        # row with the test metrics
+        from cdnet_tpu.utils import ExperimentCSV
+        ExperimentCSV(os.path.join("experiments",
+                                   f"logExl_{cfg.dataset}.csv")).upsert(
+            cfg.exp_filename(),
+            {f"t1_{k}": round(float(v), 4) for k, v in summary.items()})
         print("AVG: " + "  ".join(f"{k}={v:.4f}" for k, v in summary.items()))
         return summary
     return None
