@@ -116,7 +116,10 @@ def evaluate_instances(pred_labels: np.ndarray, gt_instances: np.ndarray):
     [dq, sq, pq], _ = M.get_fast_pq(gt_r, pred_r)
     dice = M.get_dice_1(gt_r, pred_r)
     pix = M.accuracy_pixel_level((pred_labels > 0)[None], (gt_instances > 0)[None])
+    from cdnet_tpu.metrics.pixel import jaccard_samples
+    ji = jaccard_samples(pred_labels, gt_instances)
     return {"dice": dice, "aji": aji[0], "dq": dq, "sq": sq, "pq": pq,
+            "jaccard": ji,
             "pixel_acc": pix[0], "pixel_iou": pix[1], "pixel_recall": pix[2],
             "pixel_precision": pix[3], "pixel_F1": pix[4]}
 
@@ -189,7 +192,8 @@ def main(argv=None):
             items.append((os.path.join(img_dir, f), lbl))
 
     os.makedirs(cfg.test.save_dir, exist_ok=True)
-    meter = AverageMeter(10)
+    meter = None
+    metric_keys = None
     pipeline = None
     for img_path, lbl_path in items:
         name = os.path.splitext(os.path.basename(img_path))[0]
@@ -211,13 +215,14 @@ def main(argv=None):
             if gt.ndim == 3:
                 gt = gt[..., 0]
             m = evaluate_instances(np.asarray(res["instances"]), gt)
-            meter.update(list(m.values()))
+            if meter is None:
+                metric_keys = list(m.keys())
+                meter = AverageMeter(len(metric_keys))
+            meter.update([m[k] for k in metric_keys])
             print("  " + "  ".join(f"{k}={v:.4f}" for k, v in m.items()))
 
-    if meter.count:
-        keys = ["dice", "aji", "dq", "sq", "pq", "pixel_acc", "pixel_iou",
-                "pixel_recall", "pixel_precision", "pixel_F1"]
-        summary = dict(zip(keys, meter.avg))
+    if meter is not None and meter.count:
+        summary = dict(zip(metric_keys, meter.avg))
         with open(os.path.join(cfg.test.save_dir, "result.txt"), "w") as f:
             for k, v in summary.items():
                 f.write(f"{k}: {v:.4f}\n")

@@ -34,6 +34,20 @@ def compute_pixel_level_metrics(pred, target):
     return [acc, iou, recall, precision, f1, performance]
 
 
+def jaccard_samples(pred, target):
+    """sklearn jaccard_score(average='samples') on 2-D binary maps: each ROW
+    is one sample; mean over rows of |intersection| / |union| (rows with an
+    empty union score 1 when the prediction row is also empty, else 0 —
+    sklearn's zero-division behavior returns 0 with a warning; we use 0).
+    Parity with the reference's ji1 (test_dam.py:590)."""
+    pred = (np.asarray(pred) > 0).astype(np.int64)
+    target = (np.asarray(target) > 0).astype(np.int64)
+    inter = (pred & target).sum(axis=1)
+    union = (pred | target).sum(axis=1)
+    scores = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    return float(scores.mean())
+
+
 def accuracy_pixel_level(output, target):
     """Batched ternary-label metrics on the inside class (reference utils.py:67-83).
 

@@ -34,32 +34,45 @@ from cdnet_tpu.utils import (AverageMeter, EarlyStopping, ExperimentCSV,
                              load_checkpoint, save_checkpoint, setup_logging)
 
 
-def build_dataset(cfg, synthetic: int = 0):
+def build_dataset(cfg, synthetic: int = 0, label_postfix: str = "label.npy",
+                  split: str = "train"):
+    """Train dataset: synthetic tiles or the reference directory layout
+    (images/{split}, weight_maps/{split}, labels_instance/{split}; postfix
+    'label.npy' for MoNuSeg, 'label.mat' for CPM17 — train.py:233-238)."""
     names = [n for n in cfg.train.trans_train if n != "label_encoding"]
     tf = get_transforms(names, cfg.train.input_size, cfg.train.seed)
     if synthetic:
         return SyntheticDataset(synthetic, max(cfg.train.input_size, 64),
                                 cfg.train.seed, data_transform=tf)
-    img_dir = os.path.join(cfg.train.data_dir, "images", "train")
-    weight_dir = os.path.join(cfg.train.weight_map_dir, "train")
-    label_dir = os.path.join(cfg.train.data_dir, "labels_instance", "train")
-    post_fix = ["weight.png", "label.npy"]
+    img_dir = os.path.join(cfg.train.data_dir, "images", split)
+    weight_dir = os.path.join(cfg.train.weight_map_dir, split)
+    label_dir = os.path.join(cfg.train.data_dir, "labels_instance", split)
+    post_fix = ["weight.png", label_postfix]
     return DataFolder([img_dir, weight_dir, label_dir], post_fix,
                       num_channels=cfg.model.in_c, data_transform=tf)
 
 
 def batches_of(dataset, batch_size: int, rng: np.random.RandomState,
-               drop_last: bool = True):
-    """Shuffled epoch iterator assembling device-ready dict batches."""
+               drop_last: bool = True, native_crop: int = 0):
+    """Shuffled epoch iterator assembling device-ready dict batches.
+
+    ``native_crop`` > 0 routes batch assembly through the C++ fused
+    crop/flip/jitter path (data/native_loader.py); the dataset must then
+    yield raw (uint8 img, uint8 weight, int32 instance) tiles.
+    """
     order = rng.permutation(len(dataset))
     for s in range(0, len(order) - (batch_size - 1 if drop_last else 0),
                    batch_size):
         idx = order[s:s + batch_size]
         if drop_last and len(idx) < batch_size:
             return
+        samples = [dataset[int(i)] for i in idx]
+        if native_crop:
+            from cdnet_tpu.data.native_loader import assemble_batch
+            yield assemble_batch(samples, native_crop, rng)
+            continue
         imgs, weights, insts = [], [], []
-        for i in idx:
-            img, wmap, inst = dataset[int(i)]
+        for img, wmap, inst in samples:
             imgs.append(np.asarray(img, np.float32))
             weights.append(np.asarray(wmap, np.float32))
             insts.append(np.asarray(inst, np.int32))
@@ -81,6 +94,11 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0,
                         help="train on N synthetic tiles instead of a dataset")
     parser.add_argument("--max-instances", type=int, default=160)
+    parser.add_argument("--label-postfix", type=str, default="label.npy",
+                        help="'label.npy' (MoNuSeg) or 'label.mat' (CPM17)")
+    parser.add_argument("--native-loader", action="store_true",
+                        help="use the C++ fused batch assembler (crop/flip/"
+                             "jitter path; bypasses the full transform stack)")
     ns, rest = parser.parse_known_args(argv)
     cfg = C.parse_args(rest, is_train=True)
 
@@ -98,12 +116,23 @@ def main(argv=None):
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axis_names)
     model = choose_model(cfg)
     opt = get_optimizer(cfg)
-    dataset = build_dataset(cfg, ns.synthetic)
+    native_crop = 0
+    if ns.native_loader:
+        from cdnet_tpu.data import native_loader
+        if not native_loader.available():
+            logger.info("native loader requested but libcdnet_host.so not "
+                        "built (make -C native); using its NumPy fallback")
+        native_crop = cfg.train.input_size
+        # raw tiles for the fused C++ path (it owns crop/flip/jitter)
+        dataset = build_dataset(cfg, ns.synthetic, ns.label_postfix)
+        dataset.data_transform = None
+    else:
+        dataset = build_dataset(cfg, ns.synthetic, ns.label_postfix)
     logger.info(f"dataset: {len(dataset)} samples")
 
     data_rng = np.random.RandomState(cfg.train.seed)
     first = next(batches_of(dataset, cfg.train.batch_size, data_rng,
-                            drop_last=False))
+                            drop_last=False, native_crop=native_crop))
     state = init_state(cfg, model, jnp.asarray(first["image"]), opt,
                        cfg.train.seed)
 
@@ -126,7 +155,8 @@ def main(argv=None):
         t0 = time.time()
         meter = AverageMeter(len(metric_keys) if metric_keys else 1)
         for it, batch in enumerate(batches_of(dataset, cfg.train.batch_size,
-                                              data_rng)):
+                                              data_rng,
+                                              native_crop=native_crop)):
             state, metrics = train_step(state, shard_batch(batch, mesh))
             if metric_keys is None:
                 metric_keys = sorted(metrics.keys())
@@ -142,7 +172,8 @@ def main(argv=None):
         # validation=0 default: val metrics = train metrics (train.py:379-387)
         if cfg.train.validation:
             vmeter = AverageMeter(len(metric_keys))
-            for batch in batches_of(dataset, cfg.train.batch_size, data_rng):
+            for batch in batches_of(dataset, cfg.train.batch_size, data_rng,
+                                     native_crop=native_crop):
                 vm = eval_step(state, shard_batch(batch, mesh))
                 vmeter.update([float(vm[k]) for k in metric_keys],
                               batch["image"].shape[0])
