@@ -92,7 +92,14 @@ def make_train_step(model, cfg, opt: optax.GradientTransformation,
             {"params": params, "batch_stats": batch_stats},
             batch["image"], train=True, mutable=["batch_stats"])
         total, comps = losses.composite_loss(out, targets, cfg)
-        if cfg.train.alpha > 0:
+        if cfg.train.alpha == 3:
+            # SSIM path (train_util.py:156-165 alpha==3): per-channel SSIM of
+            # softmax probs against the one-hot target
+            probs = jax.nn.softmax(out["mask"], axis=-1)
+            ls = losses.ssim_loss(probs, targets["mask_onehot"])
+            total = total + ls
+            comps["loss_ssim"] = ls
+        elif cfg.train.alpha > 0:
             probs = jax.nn.softmax(out["mask"], axis=-1)
             lv = losses.variance_loss(probs, targets["instance"], max_instances)
             if cfg.train.alpha == 2:
