@@ -1,0 +1,47 @@
+"""Learning regression: a tiny model must fit a few synthetic tiles
+(guards the full synthesis -> loss -> optimizer loop against silent breaks)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdnet_tpu.config import Config
+from cdnet_tpu.data.synthetic import synthetic_tile
+from cdnet_tpu.models import choose_model
+from cdnet_tpu.optimizers import get_optimizer, init_params_for
+from cdnet_tpu.parallel import TrainState, make_train_step
+
+
+def test_unet_fits_synthetic_tiles():
+    cfg = Config()
+    cfg.model.model_name = "UNet"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.direction = 0
+    cfg.model.mseloss = 0
+    cfg.train.lr = 3e-3
+
+    rng = np.random.RandomState(0)
+    tiles = [synthetic_tile(rng, 64) for _ in range(8)]
+    batch = {
+        "image": jnp.asarray(np.stack([t[0] for t in tiles]), jnp.float32) / 255.0,
+        "weight": jnp.full((8, 64, 64), 20.0, jnp.float32),
+        "instance": jnp.asarray(np.stack([t[1] for t in tiles])),
+    }
+
+    model = choose_model(cfg)
+    opt = get_optimizer(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch["image"][:1],
+                           train=False)
+    params = init_params_for(cfg.train.optimizer, variables["params"])
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=variables["batch_stats"],
+                       opt_state=opt.init(params))
+    step = make_train_step(model, cfg, opt, max_instances=32)
+
+    first_f1 = last_f1 = None
+    for i in range(25):
+        state, m = step(state, batch)
+        f1 = float(m["pixel_F1"])
+        first_f1 = first_f1 if first_f1 is not None else f1
+        last_f1 = f1
+    assert last_f1 > 0.5, (first_f1, last_f1)
+    assert last_f1 > first_f1
