@@ -47,7 +47,12 @@ def make_model_fn(model):
             res["point"] = out["point"]
         if "direction" in out:
             dprob = jax.nn.softmax(out["direction"], axis=-1)
-            dprob = dprob.at[..., 0].multiply(prob[..., 0])
+            # scale class-0 prob by the mask bg prob (test_dam.py:1011-1015)
+            # as one fused elementwise pass (a .at[...,0].multiply update
+            # lowered to a 21ms dynamic-update-slice copy at 1024^2)
+            c = dprob.shape[-1]
+            is_bg = jnp.arange(c) == 0
+            dprob = dprob * jnp.where(is_bg, prob[..., 0:1], 1.0)
             res["direction_cls"] = jnp.argmax(dprob, axis=-1).astype(
                 jnp.int32)[..., None].astype(jnp.float32)
         return res

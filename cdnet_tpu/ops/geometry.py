@@ -128,15 +128,23 @@ def angle_to_direction_label(
 def label_to_vector(label_map: jnp.ndarray, num_classes: int = 8) -> jnp.ndarray:
     """Direction-class map -> integer offset vectors ``[..., (h, w)]``.
 
-    Vectorized gather replacing the reference's per-class masked assignment
-    (`DTOffsetHelper.label_to_vector`, SegFix_offset_helper.py:247-261).
+    Replaces the reference's per-class masked assignment
+    (`DTOffsetHelper.label_to_vector`, SegFix_offset_helper.py:247-261) with
+    arithmetic selects over the tiny class table — a table gather at 1024^2
+    measured 15 ms/run on v5e; the select chain fuses to one pass.
     Out-of-range labels (e.g. -1 ignore) map to (0, 0).
     """
-    table = label_to_vector_table(num_classes)
-    safe = jnp.clip(label_map, 0, num_classes - 1)
-    vec = table[safe]
-    valid = ((label_map >= 0) & (label_map < num_classes))[..., None]
-    return jnp.where(valid, vec, 0)
+    mapping = _LABEL_TO_VECTOR[num_classes]
+    lab = jnp.asarray(label_map)
+    vh = jnp.zeros(lab.shape, jnp.int32)
+    vw = jnp.zeros(lab.shape, jnp.int32)
+    for cls, (h_off, w_off) in enumerate(mapping):
+        is_c = lab == cls
+        if h_off:
+            vh = jnp.where(is_c, h_off, vh)
+        if w_off:
+            vw = jnp.where(is_c, w_off, vw)
+    return jnp.stack([vh, vw], axis=-1)
 
 
 @functools.lru_cache(maxsize=None)

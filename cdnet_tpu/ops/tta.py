@@ -73,17 +73,26 @@ def _invert_grids(h: int, w: int) -> np.ndarray:
     return np.ascontiguousarray(np.stack(grids))
 
 
+# which views carry each primitive transform (order: id, hf, vf, hvf, r90,
+# r90_hf, r90_vf, r90_hvf); flips are applied AFTER the rotation on views 4-7
+_FLIP_W = np.asarray([0, 1, 0, 1, 0, 1, 0, 1], bool)[:, None, None, None]
+_FLIP_H = np.asarray([0, 0, 1, 1, 0, 0, 1, 1], bool)[:, None, None, None]
+_ROT = np.asarray([0, 0, 0, 0, 1, 1, 1, 1], bool)[:, None, None, None]
+
+
 def expand(image_hwc: jnp.ndarray) -> jnp.ndarray:
     """(H, W, C) -> (8, H, W, C) stack of the 8 symmetry views.
 
-    Implemented as one index-grid gather: per-view flip/rot90 slice+stack
-    chains made XLA:TPU pick an N/C-minor tiled layout, padding tiny dims to
-    (4, 128) — a 170x HBM blowup at 1024^2 (observed 18GB OOM on v5e).
-    Requires H == W (pad beforehand otherwise).
+    Whole-tensor rev/rot90 + per-view select masks: per-view slice+stack
+    chains and index gathers both made XLA:TPU choose N/C-minor tiled
+    layouts (up to 170x padding; gathers measured 37-328 ms/run at 1024^2).
+    rev/transpose are native layout-preserving copies. Requires H == W.
     """
-    h, w = image_hwc.shape[0], image_hwc.shape[1]
-    g = _expand_grids(h, w)
-    return image_hwc[jnp.asarray(g[..., 0]), jnp.asarray(g[..., 1])]
+    x = jnp.broadcast_to(image_hwc[None], (8,) + image_hwc.shape)
+    x = jnp.where(jnp.asarray(_ROT), jnp.rot90(x, k=1, axes=(1, 2)), x)
+    x = jnp.where(jnp.asarray(_FLIP_W), jnp.flip(x, axis=2), x)
+    x = jnp.where(jnp.asarray(_FLIP_H), jnp.flip(x, axis=1), x)
+    return x
 
 
 def invert(outputs_8hwc: jnp.ndarray) -> jnp.ndarray:
@@ -91,12 +100,14 @@ def invert(outputs_8hwc: jnp.ndarray) -> jnp.ndarray:
 
     Spatial-only — for direction-class maps apply :data:`DCM_VOTING_TRANS`
     separately (the reference itself does NOT remap classes in the DDM-fusion
-    path, and neither do we by default).
+    path, and neither do we by default). Undo order matches the reference's
+    re-flips (test_dam.py:356-362,428-443): flips first, then rot90 k=3.
     """
-    h, w = outputs_8hwc.shape[1], outputs_8hwc.shape[2]
-    g = _invert_grids(h, w)
-    view_idx = jnp.arange(8)[:, None, None]
-    return outputs_8hwc[view_idx, jnp.asarray(g[..., 0]), jnp.asarray(g[..., 1])]
+    x = outputs_8hwc
+    x = jnp.where(jnp.asarray(_FLIP_W), jnp.flip(x, axis=2), x)
+    x = jnp.where(jnp.asarray(_FLIP_H), jnp.flip(x, axis=1), x)
+    x = jnp.where(jnp.asarray(_ROT), jnp.rot90(x, k=3, axes=(1, 2)), x)
+    return x
 
 
 #  DcmVoting (utils.py:1112-1139): numberListAll[i][j-1] = source class in
