@@ -53,8 +53,16 @@ def make_model_fn(model):
             c = dprob.shape[-1]
             is_bg = jnp.arange(c) == 0
             dprob = dprob * jnp.where(is_bg, prob[..., 0:1], 1.0)
-            res["direction_cls"] = jnp.argmax(dprob, axis=-1).astype(
-                jnp.int32)[..., None].astype(jnp.float32)
+            # argmax as an unrolled select chain: jnp.argmax lowered to an
+            # iota-reduce with a transposed output layout (61 ms/run at
+            # 1024^2); 9 fused selects cost one elementwise pass
+            best = dprob[..., 0]
+            idx = jnp.zeros(best.shape, jnp.int32)
+            for ci in range(1, c):
+                take = dprob[..., ci] > best
+                best = jnp.where(take, dprob[..., ci], best)
+                idx = jnp.where(take, ci, idx)
+            res["direction_cls"] = idx[..., None].astype(jnp.float32)
         return res
     return fn
 
