@@ -5,7 +5,8 @@ import jax.numpy as jnp
 
 from cdnet_tpu.models.fullnet import FCNPooling, FullNet
 from cdnet_tpu.models.hrnet import HRNet18DAM
-from cdnet_tpu.models.legacy import FCN8, DeepLabV3Plus, PSPNet, SegNet
+from cdnet_tpu.models.legacy import (FCN8, DeepLabV3Plus, PSPDenseNet,
+                                     PSPNet, SegNet, SegResNet)
 from cdnet_tpu.models.resnet import ResNetBackbone, UNetResNet
 from cdnet_tpu.models.unet import UNet
 from cdnet_tpu.models.vgg_unet import UNetVGG16, make_vgg_variant
@@ -50,6 +51,10 @@ def choose_model(cfg):
         return SegNet(num_classes=m.out_c, dtype=dtype)
     if name == "PSPNet":
         return PSPNet(num_classes=m.out_c, dtype=dtype)
+    if name == "PSPDenseNet":
+        return PSPDenseNet(num_classes=m.out_c, dtype=dtype)
+    if name == "SegResNet":
+        return SegResNet(num_classes=m.out_c, dtype=dtype)
     if name == "DeepLab":
         return DeepLabV3Plus(num_classes=m.out_c, dtype=dtype)
     if name == "FCN8":

@@ -105,6 +105,74 @@ class PSPNet(nn.Module):
         return {"mask": resize_bilinear(logits, h, w)}
 
 
+class SegResNet(nn.Module):
+    """SegNet variant on a ResNet-50 encoder (segnet.py:175-207): encoder
+    stages -> bottleneck decoder blocks with 2x upsampling -> 3x3 head."""
+    num_classes: int = 3
+    backbone: str = "resnet50"
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1], x.shape[2]
+        x = x.astype(self.dtype)
+        feats, _ = ResNetBackbone(self.backbone, dtype=self.dtype,
+                                  name="backbone")(x, train)
+        ch = feats.shape[-1]
+        out = feats
+        # 5 decoder bottlenecks: conv1x1 down, conv3x3, upsample, conv1x1
+        for _ in range(5):
+            ch = max(ch // 2, 64)
+            out = ConvBN(ch, kernel=(1, 1), dtype=self.dtype)(out, train)
+            out = ConvBN(ch, dtype=self.dtype)(out, train)
+            out = resize_bilinear(out, out.shape[1] * 2, out.shape[2] * 2)
+        out = resize_bilinear(out, h, w)
+        out = ConvBN(64, dtype=self.dtype)(out, train)
+        logits = nn.Conv(self.num_classes, (3, 3), padding="SAME",
+                         dtype=jnp.float32, param_dtype=jnp.float32)(
+            out.astype(jnp.float32))
+        return {"mask": logits}
+
+
+class _DenseBackbone(nn.Module):
+    """Compact DenseNet-style encoder for PSPDenseNet (pspnet.py:118-180):
+    stem + 4 dense blocks with transitions (stride-2 pooling)."""
+    growth_rate: int = 24
+    block_layers: tuple[int, ...] = (4, 6, 8, 6)
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from cdnet_tpu.models.fullnet import _ConvLayer, _DenseBlock
+        x = ConvBN(48, kernel=(7, 7), strides=(2, 2), dtype=self.dtype)(x, train)
+        for i, n in enumerate(self.block_layers):
+            x = _DenseBlock(self.growth_rate, 0.0, (1,) * n,
+                            dtype=self.dtype)(x, train)
+            x = _ConvLayer(x.shape[-1] // 2, kernel=(1, 1),
+                           dtype=self.dtype)(x, train)
+            if i < len(self.block_layers) - 1:
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return x
+
+
+class PSPDenseNet(nn.Module):
+    """`PSPDenseNet` (pspnet.py:118-180): PSP head over a DenseNet encoder."""
+    num_classes: int = 3
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1], x.shape[2]
+        x = x.astype(self.dtype)
+        feats = _DenseBackbone(dtype=self.dtype, name="backbone")(x, train)
+        psp = _PSPModule(max(feats.shape[-1] // 4, 64),
+                         dtype=self.dtype)(feats, train)
+        psp = nn.Dropout(0.3, deterministic=not train)(psp)
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                         param_dtype=jnp.float32)(psp.astype(jnp.float32))
+        return {"mask": resize_bilinear(logits, h, w)}
+
+
 class _ASPP(nn.Module):
     """Atrous spatial pyramid pooling (deeplabv3_plus.py ASSP block)."""
     features: int = 256

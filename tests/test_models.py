@@ -117,3 +117,9 @@ class TestExtendedZoo:
         np.testing.assert_allclose(np.asarray(up).max(), np.asarray(x).max())
         mask = np.asarray(up) != 0
         np.testing.assert_allclose(np.asarray(x)[mask], np.asarray(up)[mask])
+
+    @pytest.mark.parametrize("name", ["SegResNet", "PSPDenseNet"])
+    def test_second_wave_legacy(self, name):
+        model = choose_model(cfg_for(name))
+        _, out = _init_apply(model, (1, 64, 64, 3))
+        assert out["mask"].shape == (1, 64, 64, 3), name
