@@ -8,9 +8,9 @@ host-side parameter groups. `ranger` = RAdam wrapped in Lookahead
 """
 from __future__ import annotations
 
-import math
 from typing import Callable
 
+import jax.numpy as jnp
 import optax
 
 
@@ -35,13 +35,15 @@ def make_schedule(cfg, steps_per_epoch: int = 1) -> Callable[[int], float]:
     if name == "ExponentialLR":
         return lambda s: base * decay ** epoch_of(s)
     if name == "CosineAnnealingWarmRestarts":
+        # closed form (traceable under jit, unlike a python while): with
+        # T_mult=2 the k-th restart begins at epoch T_0*(2^k - 1), so
+        # k = floor(log2(e/T_0 + 1)), T_i = T_0*2^k
         def sched(s):
             e = epoch_of(s)
-            t_i, t_cur = step_size, e
-            while t_cur >= t_i:
-                t_cur -= t_i
-                t_i *= 2
-            return 0.5 * base * (1 + math.cos(math.pi * t_cur / t_i))
+            k = jnp.floor(jnp.log2(e / step_size + 1.0))
+            t_i = step_size * 2.0 ** k
+            t_cur = e - step_size * (2.0 ** k - 1.0)
+            return 0.5 * base * (1 + jnp.cos(jnp.pi * t_cur / t_i))
         return sched
     # 'ReduceLROnPlateau' is stateful on val loss; handled by the train driver
     # via optax.contrib.reduce_on_plateau when selected.
@@ -88,9 +90,15 @@ def get_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformation
         raise ValueError(f"Optimizer {t.optimizer} not available")
 
     if t.scheduler == "ReduceLROnPlateau":
+        # torch ReduceLROnPlateau steps per epoch (utils.py:943-947); optax's
+        # reduce_on_plateau counts opt.update calls, so denominate patience
+        # in steps. The train step feeds the loss via ``opt.update(...,
+        # value=loss)`` — see parallel/train_step.py.
         opt = optax.chain(opt, optax.contrib.reduce_on_plateau(
-            factor=t.lr_decay, patience=t.step))
-    return opt
+            factor=t.lr_decay, patience=t.step * steps_per_epoch))
+    # uniform update signature: every optimizer accepts (and plain ones
+    # ignore) the ``value=`` kwarg the train step always passes
+    return optax.with_extra_args_support(opt)
 
 
 def init_params_for(opt_name: str, params):

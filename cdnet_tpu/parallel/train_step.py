@@ -113,9 +113,12 @@ def make_train_step(model, cfg, opt: optax.GradientTransformation,
     def train_step(state: TrainState, batch: dict):
         targets = prepare_targets(batch, cfg, max_instances)
         grad_params = state.params.fast if is_lookahead else state.params
-        (_, (comps, new_bs, out)), grads = jax.value_and_grad(
+        (total, (comps, new_bs, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(grad_params, state.batch_stats, batch, targets)
-        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        # value= feeds ReduceLROnPlateau (optax extra-args); other chains
+        # ignore it (optimizers.py wraps with with_extra_args_support)
+        updates, new_opt = opt.update(grads, state.opt_state, state.params,
+                                      value=total)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(comps)
         pred = jnp.argmax(out["mask"], axis=-1)
