@@ -87,52 +87,38 @@ def _diamond_dilation(labels: jnp.ndarray, radius: int) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("min_size",))
-def process_dcan(blb: jnp.ndarray, cnt: jnp.ndarray, min_size: int = 10):
+def _per_instance_dilate_fill(labels: jnp.ndarray, radius: int,
+                              max_instances: int) -> jnp.ndarray:
+    """Reference loop `for inst_id: dilate; fill_holes; canvas[...]=id`
+    (postproc_other.py:60-68, 91-97): each instance is dilated and
+    hole-filled INDEPENDENTLY (a cavity between two instances is a hole of
+    neither and stays background), ascending-id overwrite == max-id rule."""
+    ids = jnp.arange(1, max_instances + 1, dtype=jnp.int32)
+    onehot = labels[None] == ids[:, None, None]
+    dil = jax.vmap(
+        lambda m: _diamond_dilation(m.astype(jnp.int32), radius) > 0)(onehot)
+    filled = jax.vmap(binary_fill_holes)(dil)
+    return jnp.max(jnp.where(filled, ids[:, None, None], 0), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("min_size", "max_instances"))
+def process_dcan(blb: jnp.ndarray, cnt: jnp.ndarray, min_size: int = 10,
+                 max_instances: int = 160):
     """DCAN post-processing (postproc_other.py:69-97): instances from
-    (blob - contour) > 0.3, small-object removal, diamond dilation + hole
-    filling per instance (ascending-id overwrite == max-label rule)."""
+    (blob - contour) > 0.3, small-object removal, then per-instance diamond-3
+    dilation + hole filling."""
     mask = (blb - cnt) > 0.3
     labels, _ = cc_label(mask, connectivity=1)
     labels = remove_small_objects(labels, min_size)
-    labels = _diamond_dilation(labels, 3)
-    # per-instance fill holes == fill holes of the union, keeping owner labels
-    filled = binary_fill_holes(labels > 0)
-    holes = filled & (labels == 0)
-    # assign hole pixels the surrounding label via repeated dilation
-    def cond(state):
-        lab, changed = state
-        return changed
-
-    def body(state):
-        lab, _ = state
-        grown = _diamond_dilation(lab, 1)
-        new = jnp.where(holes & (lab == 0), grown, lab)
-        return new, jnp.any(new != lab)
-
-    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.array(True)))
-    return labels
+    return _per_instance_dilate_fill(labels, 3, max_instances)
 
 
-@functools.partial(jax.jit, static_argnames=("min_size",))
-def process_micronet(pred: jnp.ndarray, min_size: int = 10):
+@functools.partial(jax.jit, static_argnames=("min_size", "max_instances"))
+def process_micronet(pred: jnp.ndarray, min_size: int = 10,
+                     max_instances: int = 160):
     """Micro-Net post-processing (postproc_other.py:50-68): fill holes, CC,
-    remove-small, then cross-kernel dilation + hole fill per instance."""
+    remove-small, then per-instance cross-kernel dilation + hole fill."""
     mask = binary_fill_holes(pred > 0.5)
     labels, _ = cc_label(mask, connectivity=1)
     labels = remove_small_objects(labels, min_size)
-    labels = _diamond_dilation(labels, 1)  # 3x3 cross kernel
-    filled = binary_fill_holes(labels > 0)
-    holes = filled & (labels == 0)
-
-    def cond(state):
-        return state[1]
-
-    def body(state):
-        lab, _ = state
-        grown = _diamond_dilation(lab, 1)
-        new = jnp.where(holes & (lab == 0), grown, lab)
-        return new, jnp.any(new != lab)
-
-    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.array(True)))
-    return labels
+    return _per_instance_dilate_fill(labels, 1, max_instances)

@@ -4,6 +4,7 @@ Fixture values come from the reference's own smoke block
 (`/root/reference/data_prepare/SegFix_offset_helper.py:508-527`) plus a NumPy
 oracle re-implementing the reference's masked-loop semantics.
 """
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -115,13 +116,34 @@ class TestSobel:
         assert np.all(inner[..., 1] > 0)
         np.testing.assert_allclose(inner[..., 0], 0.0, atol=1e-4)
 
-    def test_matches_torch_conv2d(self):
-        torch = pytest.importorskip("torch")
+    def test_matches_float64_oracle(self):
+        """f32 conv accumulation order differs between XLA and torch (round-1
+        red test: max |diff| ~0.01 on values ~4, i.e. ~2.5e-3 relative — both
+        are valid f32 reductions of 121 terms). Pin against an exact float64
+        oracle with an f32-accumulation tolerance instead, and assert the
+        thing that feeds training: the quantized 8-sector direction class is
+        identical wherever the gradient is non-degenerate. (Cross-framework
+        class parity vs the reference's own Sobel is covered in
+        test_reference_parity.TestSobelDirectionParity.)"""
+        from scipy.ndimage import correlate
+
         rng = np.random.RandomState(0)
         field = rng.rand(24, 24).astype(np.float32)
         got = np.asarray(G.sobel_gradients(field, ksize=11))
-        kern = np.asarray(G.sobel_kernel(11))[:, :, 0, :]  # (11,11,2)
-        tk = torch.from_numpy(np.transpose(kern, (2, 0, 1))[:, None])  # (2,1,11,11)
-        tf = torch.from_numpy(field[None, None])
-        want = torch.nn.functional.conv2d(tf, tk, padding=5)[0].permute(1, 2, 0).numpy()
-        np.testing.assert_allclose(got, want, atol=1e-4)
+        kern = np.asarray(G.sobel_kernel(11), np.float64)[:, :, 0, :]  # (11,11,2)
+        want = np.stack(
+            [correlate(field.astype(np.float64), kern[..., c],
+                       mode="constant") for c in range(2)], axis=-1)
+        scale = np.abs(kern).sum()  # worst-case accumulation magnitude
+        np.testing.assert_allclose(got, want, atol=3e-6 * scale)
+
+        # direction-class invariance under the f32 drift
+        def classes(grad):
+            ang = np.degrees(np.arctan2(grad[..., 0], grad[..., 1]))
+            vec = np.asarray(G.angle_to_vector(jnp.asarray(ang), num_classes=8))
+            return np.asarray(G.vector_to_label(jnp.asarray(vec), num_classes=8))
+
+        mag = np.hypot(want[..., 0], want[..., 1])
+        sig = mag > 1e-3
+        assert sig.mean() > 0.9
+        assert np.array_equal(classes(got)[sig], classes(want)[sig])
