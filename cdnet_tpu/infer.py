@@ -30,7 +30,7 @@ from cdnet_tpu.ops.sliding_window import split_forward
 from cdnet_tpu.utils import AverageMeter, load_checkpoint
 
 
-def make_model_fn(model):
+def make_model_fn(model, mesh=None):
     """(variables, (B,H,W,C) images) -> {"prob", "point", "direction_cls"}.
 
     get_probmaps parity (test_dam.py:932-1035): softmax over mask; direction
@@ -38,8 +38,16 @@ def make_model_fn(model):
     before the argmax (test_dam.py:1011-1015). ``variables`` is an argument,
     not a closure — closed-over params get baked into the XLA program as
     constant literals (observed 81MB MLIR -> compile-helper crash).
+
+    With ``mesh``, the batch axis (TTA views x sliding-window tiles — the
+    natural shard axes, SURVEY.md §2.4) is sharded over the mesh's "data"
+    axis; XLA partitions the convs and inserts any collectives.
     """
     def fn(variables, batch):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batch = jax.lax.with_sharding_constraint(
+                batch, NamedSharding(mesh, P("data", None, None, None)))
         out = model.apply(variables, batch, train=False)
         prob = jax.nn.softmax(out["mask"], axis=-1)
         res = {"prob": prob}
@@ -67,9 +75,13 @@ def make_model_fn(model):
     return fn
 
 
-def build_pipeline(model, variables, cfg, image_hw: tuple[int, int]):
-    """Whole-image jit pipeline: (H,W,3) float image -> result dict."""
-    model_fn = make_model_fn(model)
+def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
+                   mesh=None):
+    """Whole-image jit pipeline: (H,W,3) float image -> result dict.
+
+    ``mesh``: optional jax.sharding.Mesh — shards the TTA/tile batch axis
+    across devices (tile-parallel inference; BASELINE v5e-8 target)."""
+    model_fn = make_model_fn(model, mesh)
     use_tta = cfg.test.tta
     patch, overlap = cfg.test.patch_size, cfg.test.overlap
     whole = cfg.test.all_img_test == 1
@@ -121,20 +133,58 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int]):
     return pipeline
 
 
-def evaluate_instances(pred_labels: np.ndarray, gt_instances: np.ndarray):
-    """Per-image metric bundle (test_dam.py:583-669 subset: the headline ones)."""
-    pred_r = M.remap_label(pred_labels)
-    gt_r = M.remap_label(gt_instances)
-    aji = M.get_fast_aji(gt_r, pred_r)
-    [dq, sq, pq], _ = M.get_fast_pq(gt_r, pred_r)
-    dice = M.get_dice_1(gt_r, pred_r)
-    pix = M.accuracy_pixel_level((pred_labels > 0)[None], (gt_instances > 0)[None])
-    from cdnet_tpu.metrics.pixel import jaccard_samples
-    ji = jaccard_samples(pred_labels, gt_instances)
-    return {"dice": dice, "aji": aji[0], "dq": dq, "sq": sq, "pq": pq,
-            "jaccard": ji,
-            "pixel_acc": pix[0], "pixel_iou": pix[1], "pixel_recall": pix[2],
-            "pixel_precision": pix[3], "pixel_F1": pix[4]}
+# the reference's per-image metric row (test_dam.py:583-669, header at :748-763)
+REF_HEADER = ["pixel_acc", "pixel_IoU", "pixel_Recall", "pixel_Precision",
+              "pixel_F1", "recall", "precision", "F1", "Dice", "IoU",
+              "Hausdorff", "AJI", "AJI_h", "Dice_h", "Dice2_h", "dq", "sq",
+              "pq", "Ana_FP", "Ana_FN", "Ana_less", "Ana_more"]
+
+
+def evaluate_instances(pred_labels: np.ndarray, gt_instances: np.ndarray,
+                       annotation_path: str | None = None,
+                       compute_hausdorff: bool = True) -> dict:
+    """Full per-image metric bundle (test_dam.py:583-669), ordered like
+    REF_HEADER:
+
+    - pixel metrics on pred>0 vs gt>0 (test_dam.py:594-599)
+    - object-level recall/precision/F1/dice/iou/Hausdorff/AJI via greedy
+      matching (utils.py:250-330), or the XML-annotation variant when
+      ``annotation_path`` is given (groundtruth=1, test_dam.py:600-604)
+    - HoVer-Net AJI (+FP/FN/less/more decomposition), Dice, DQ/SQ/PQ — both
+      maps re-labeled with measure.label first (test_dam.py:613-615; NOT
+      plain remap, dilation can disconnect instances)
+    """
+    from cdnet_tpu.metrics.objects import (
+        label_equal_values, nuclei_accuracy_annotation_object_level,
+        nuclei_accuracy_object_level)
+
+    pix = M.accuracy_pixel_level((pred_labels > 0)[None],
+                                 (gt_instances > 0)[None])
+    if annotation_path:
+        obj = nuclei_accuracy_annotation_object_level(
+            pred_labels, annotation_path, compute_hausdorff)
+    else:
+        obj = nuclei_accuracy_object_level(pred_labels, gt_instances,
+                                           compute_hausdorff)
+    pl = label_equal_values(pred_labels)
+    gl = label_equal_values(gt_instances)
+    aji_h, ana_fp, ana_fn, ana_less, ana_more = M.get_fast_aji(gl, pl)
+    dice_h = M.get_dice_1(gl, pl)
+    [dq, sq, pq], _ = M.get_fast_pq(gl, pl)
+    row = [pix[0], pix[1], pix[2], pix[3], pix[4], *obj,
+           aji_h, dice_h, 0.0, dq, sq, pq, ana_fp, ana_fn, ana_less, ana_more]
+    return dict(zip(REF_HEADER, (float(v) for v in row)))
+
+
+def save_results(header, avg_results, all_results, filename, mode="w"):
+    """result.txt / auto_saveLog format parity (test_dam.py:1059-1084)."""
+    with open(filename, mode) as f:
+        f.write("Metrics:\t" + "\t".join(header) + "\n")
+        f.write("Average:\t" + "\t".join(f"{v:.4f}" for v in avg_results)
+                + "\n\n")
+        for key in sorted(all_results):
+            f.write(key + ":" + "".join(f"\t{v:.4f}" for v in
+                                        all_results[key]) + "\n")
 
 
 def save_artifacts(save_dir: str, name: str, res: dict):
@@ -169,6 +219,10 @@ def main(argv=None):
                         help="single image to segment (else test dir)")
     parser.add_argument("--label", type=str, default="",
                         help="instance label for metrics (.npy/.mat/.png)")
+    parser.add_argument("--use-mesh", action="store_true",
+                        help="shard the TTA/tile batch over all devices")
+    parser.add_argument("--no-hausdorff", action="store_true",
+                        help="skip the (slow, host-side) Hausdorff metric")
     ns, rest = parser.parse_known_args(argv)
     cfg = C.parse_args(rest, is_train=False)
 
@@ -197,16 +251,23 @@ def main(argv=None):
         for f in sorted(os.listdir(img_dir)):
             stem = os.path.splitext(f)[0]
             lbl = None
-            for ext in (".npy", ".mat", ".png"):
+            for ext in (".npy", ".mat", ".png", ".xml"):
                 p = os.path.join(label_dir, stem + ext)
                 if os.path.exists(p):
                     lbl = p
                     break
             items.append((os.path.join(img_dir, f), lbl))
 
+    mesh = None
+    if ns.use_mesh:
+        from cdnet_tpu.parallel import make_mesh
+        mesh = make_mesh()
+
     os.makedirs(cfg.test.save_dir, exist_ok=True)
-    meter = None
-    metric_keys = None
+    meter = AverageMeter(len(REF_HEADER))
+    all_results = {}
+    ji_sum = 0.0
+    count_pred, count_real = [], []
     pipeline = None
     for img_path, lbl_path in items:
         name = os.path.splitext(os.path.basename(img_path))[0]
@@ -215,7 +276,8 @@ def main(argv=None):
         if img.ndim == 2:
             img = img[..., None]
         if pipeline is None:
-            pipeline = build_pipeline(model, variables, cfg, img.shape[:2])
+            pipeline = build_pipeline(model, variables, cfg, img.shape[:2],
+                                      mesh=mesh)
         t0 = time.time()
         res = pipeline(jnp.asarray(img))
         jax.block_until_ready(res)
@@ -224,28 +286,73 @@ def main(argv=None):
         if cfg.test.save_flag:
             save_artifacts(cfg.test.save_dir, name, res)
         if lbl_path:
-            gt = np.asarray(img_loader(lbl_path))
-            if gt.ndim == 3:
-                gt = gt[..., 0]
-            m = evaluate_instances(np.asarray(res["instances"]), gt)
-            if meter is None:
-                metric_keys = list(m.keys())
-                meter = AverageMeter(len(metric_keys))
-            meter.update([m[k] for k in metric_keys])
-            print("  " + "  ".join(f"{k}={v:.4f}" for k, v in m.items()))
+            is_xml = lbl_path.endswith(".xml")
+            if is_xml:
+                from cdnet_tpu.metrics.objects import read_annotation_xml
+                gt = read_annotation_xml(lbl_path, img.shape[:2])
+            else:
+                gt = np.asarray(img_loader(lbl_path))
+                if gt.ndim == 3:
+                    gt = gt[..., 0]
+            pred_inst = np.asarray(res["instances"])
+            # point-count estimate (test_dam.py:506-515): sum(point)/255 vs
+            # len(unique(inst_label)) — reference counts bg, keep faithful
+            if "point" in res:
+                count_pred.append(float(np.sum(np.asarray(res["point"])) / 255.0))
+                count_real.append(len(np.unique(gt)))
+            m = evaluate_instances(
+                pred_inst, gt,
+                annotation_path=lbl_path if (is_xml or
+                                             cfg.test.groundtruth == 1) else None,
+                compute_hausdorff=not ns.no_hausdorff)
+            # sklearn 'samples' jaccard on the BINARY maps (test_dam.py:583)
+            from cdnet_tpu.metrics.pixel import jaccard_samples
+            ji_sum += jaccard_samples(
+                np.asarray(res["pred2"]).astype(np.uint8) * 255,
+                (gt > 0).astype(np.uint8) * 255)
+            row = [m[k] for k in REF_HEADER]
+            all_results[name] = row
+            meter.update(row)
+            print("  " + "  ".join(
+                f"{k}={v:.4f}" for k, v in zip(REF_HEADER, row)))
 
-    if meter is not None and meter.count:
-        summary = dict(zip(metric_keys, meter.avg))
-        with open(os.path.join(cfg.test.save_dir, "result.txt"), "w") as f:
-            for k, v in summary.items():
-                f.write(f"{k}: {v:.4f}\n")
-        # logExl write-back parity (test_dam.py:777-925): fill the experiment
-        # row with the test metrics
+    if count_pred:
+        print(f"count_pred_list = {count_pred}")
+        print(f"count_label_list = {count_real}")
+    if all_results:
+        avg = list(meter.avg)
+        summary = dict(zip(REF_HEADER, avg))
+        aji_sklearn = ji_sum / len(all_results)
+        summary["AJI_sklearn"] = aji_sklearn
+        # {imgdir}_result.txt + appended auto_saveLog (test_dam.py:765-777)
+        strs = os.path.basename(os.path.normpath(cfg.test.img_dir or "test"))
+        save_results(REF_HEADER, avg, all_results,
+                     os.path.join(cfg.test.save_dir, f"{strs}_result.txt"))
+        log_dir = os.path.join("experiments", cfg.dataset)
+        os.makedirs(log_dir, exist_ok=True)
+        save_results(REF_HEADER, avg, all_results,
+                     os.path.join(log_dir, "auto_saveLog_gpu0.txt"), mode="a+")
+        # logExl write-back (test_dam.py:777-925): hyperparam columns + the
+        # full t1_* metric set, named as the reference's 84-column CSV
         from cdnet_tpu.utils import ExperimentCSV
+        t1 = {f"t1_{k}": round(float(v), 7) for k, v in zip(
+            ["pixel_acc", "pixel_IoU", "pixel_recall", "pixel_precision",
+             "pixel_F1", "recall", "precision", "F1", "Dice", "IoU",
+             "Hausdorff", "AJI", "AJI_h", "Dice_h", "Dice2_h", "dq", "sq",
+             "pq", "ana_FP", "ana_FN", "P_less", "P_more"], avg)}
+        t1["t1_AJI_sklearn"] = round(aji_sklearn, 7)
+        t1.update({"Model": cfg.model.model_name,
+                   "MSEloss": cfg.model.mseloss,
+                   "direction": cfg.model.direction,
+                   "backbone": cfg.model.backbone,
+                   "postproc": cfg.post.postproc,
+                   "min_area": cfg.post.min_area,
+                   "radius": cfg.post.radius,
+                   "groundtruth": cfg.test.groundtruth,
+                   "AllImgTest": cfg.test.all_img_test})
         ExperimentCSV(os.path.join("experiments",
                                    f"logExl_{cfg.dataset}.csv")).upsert(
-            cfg.exp_filename(),
-            {f"t1_{k}": round(float(v), 4) for k, v in summary.items()})
+            cfg.exp_filename(), t1)
         print("AVG: " + "  ".join(f"{k}={v:.4f}" for k, v in summary.items()))
         return summary
     return None

@@ -156,6 +156,89 @@ def gland_accuracy_object_level(pred: np.ndarray, gt: np.ndarray):
             (iou_g + iou_s) / 2, (haus_g + haus_s) / 2)
 
 
+def read_annotation_polygons(path: str) -> list:
+    """MoNuSeg Aperio XML -> list of (N,2) float vertex arrays
+    (reference utils.py:112-128 `read_annotation`)."""
+    import xml.etree.ElementTree as ET
+
+    import math
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(path)
+    polys = []
+    for region in tree.getroot().iter("Region"):
+        pts = [(math.floor(float(v.attrib["X"])),
+                math.floor(float(v.attrib["Y"])))
+               for v in region.iter("Vertex")]
+        polys.append(np.asarray(pts, np.int32))
+    return polys
+
+
+def _rasterize_polygon(poly: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
+    """One polygon -> binary mask (reference `to_mask_instance`,
+    utils.py:136-150: floored int vertices + cv2.drawContours FILLED)."""
+    import cv2
+
+    mask = np.zeros(shape, np.uint8)
+    cv2.drawContours(mask, [poly.reshape(-1, 1, 2)], 0, 1,
+                     thickness=cv2.FILLED)
+    return mask.astype(bool)
+
+
+def nuclei_accuracy_annotation_object_level(pred: np.ndarray,
+                                            annotation_path: str,
+                                            compute_hausdorff: bool = True):
+    """groundtruth=1 variant (reference utils.py:152-241): GT instances come
+    from XML polygons (possibly overlapping), sorted by vertex count
+    descending; same greedy max-IoU matching + consume-on-match as
+    nuclei_accuracy_object_level. Returns the same 7-tuple."""
+    polys = read_annotation_polygons(annotation_path)
+    polys.sort(key=len, reverse=True)
+    n_gt = len(polys)
+    pred_labeled = label_equal_values(pred)
+    n_pred = int(pred_labeled.max())
+    alive = np.ones(n_pred + 1, bool)  # pred ids not yet consumed
+    alive[0] = False
+    pred_sizes = np.bincount(pred_labeled.ravel(), minlength=n_pred + 1)
+
+    tp = fn = 0.0
+    dice = iou = haus = 0.0
+    c_sum = u_sum = 0.0
+    count = 0.0
+    for poly in polys:
+        gt_i = _rasterize_polygon(poly, pred_labeled.shape)
+        gt_size = gt_i.sum()
+        over = pred_labeled[gt_i]
+        over = over[(over > 0) & alive[np.minimum(over, n_pred)]]
+        if over.size == 0:
+            fn += 1
+            u_sum += gt_size
+            continue
+        cand, cnts = np.unique(over, return_counts=True)
+        ious = cnts / (pred_sizes[cand] + gt_size - cnts)
+        j = int(np.argmax(ious))  # first strict max (reference `>` update)
+        k, overlap = int(cand[j]), float(cnts[j])
+        tp += 1
+        count += 1
+        dice += 2 * overlap / (pred_sizes[k] + gt_size)
+        iou += overlap / (pred_sizes[k] + gt_size - overlap)
+        if compute_hausdorff:
+            haus += _haus(np.argwhere(pred_labeled == k), np.argwhere(gt_i))
+        c_sum += overlap
+        u_sum += pred_sizes[k] + gt_size - overlap
+        alive[k] = False
+
+    fp = n_pred - tp
+    recall = tp / (tp + fn + 1e-10)
+    precision = tp / (tp + fp + 1e-10)
+    f1 = 2 * tp / (2 * tp + fp + fn + 1e-10)
+    count = count or 1.0
+    u_sum += pred_sizes[1:][alive[1:]].sum()
+    aji = c_sum / u_sum if u_sum else 0.0
+    return (recall, precision, f1, dice / count, iou / count, haus / count,
+            aji)
+
+
 def read_annotation_xml(path: str, shape: tuple[int, int]) -> np.ndarray:
     """MoNuSeg Aperio XML -> instance mask (reference utils.py:112-150).
 

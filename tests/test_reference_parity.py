@@ -173,6 +173,65 @@ class TestObjectMetricsParity:
         assert np.allclose(ours, ref, rtol=1e-9), f"\nref={ref}\nours={ours}"
 
 
+class TestAnnotationMetricsParity:
+    XML = """<?xml version="1.0"?>
+<Annotations><Annotation><Regions>
+  <Region><Vertices>
+    <Vertex X="10.7" Y="12.2"/><Vertex X="30.1" Y="12.9"/>
+    <Vertex X="30.4" Y="30.6"/><Vertex X="10.2" Y="30.3"/>
+  </Vertices></Region>
+  <Region><Vertices>
+    <Vertex X="40.5" Y="40.1"/><Vertex X="58.9" Y="42.7"/>
+    <Vertex X="56.3" Y="58.4"/><Vertex X="42.8" Y="60.2"/>
+    <Vertex X="38.6" Y="50.9"/>
+  </Vertices></Region>
+  <Region><Vertices>
+    <Vertex X="50.2" Y="8.4"/><Vertex X="60.7" Y="10.1"/>
+    <Vertex X="59.3" Y="22.8"/><Vertex X="48.9" Y="20.6"/>
+  </Vertices></Region>
+</Regions></Annotation></Annotations>"""
+
+    def test_groundtruth_xml_variant(self, tmp_path):
+        path = str(tmp_path / "ann.xml")
+        with open(path, "w") as f:
+            f.write(self.XML)
+        # a prediction overlapping the three polygons imperfectly
+        pred = np.zeros((64, 64), np.int32)
+        pred[12:28, 12:28] = 1
+        pred[42:58, 41:57] = 2
+        pred[9:21, 50:60] = 3
+        pred[2:6, 2:5] = 4  # false positive
+        ref = ref_utils.nuclei_accuracy_annotation_object_level(pred.copy(),
+                                                                path)
+        ours = obj_m.nuclei_accuracy_annotation_object_level(pred, path)
+        assert np.allclose(ours, ref, rtol=1e-9), f"\nref={ref}\nours={ours}"
+
+
+class TestEvaluateInstancesBundle:
+    def test_22_metric_row_matches_reference_composition(self):
+        """infer.evaluate_instances vs the reference's test_dam.py:583-669
+        sequence computed with the reference's own functions."""
+        from cdnet_tpu.infer import REF_HEADER, evaluate_instances
+
+        gt = _tile(5, 96)
+        pred = ro.dilation(gt, ro.disk(1))
+        pred[:, :5] = 0
+
+        m = evaluate_instances(pred, gt)
+        assert list(m.keys()) == REF_HEADER
+
+        pix = ref_utils.accuracy_pixel_level((pred > 0)[None], (gt > 0)[None])
+        obj = ref_utils.nuclei_accuracy_object_level(pred.copy(), gt.copy())
+        pl = ro.measure_label(pred)
+        gl = ro.measure_label(gt)
+        aji_h, fp, fn, less, more = stats_utils.get_fast_aji(gl, pl)
+        dice_h = stats_utils.get_dice_1(gl, pl)
+        pq_info = stats_utils.get_fast_pq(gl, pl)[0]
+        ref_row = [pix[0], pix[1], pix[2], pix[3], pix[4], *obj, aji_h,
+                   dice_h, 0.0, *pq_info, fp, fn, less, more]
+        assert np.allclose([m[k] for k in REF_HEADER], ref_row, rtol=1e-9)
+
+
 class TestPixelMetricsParity:
     def test_accuracy_pixel_level(self):
         rng = np.random.RandomState(1)
