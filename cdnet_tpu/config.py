@@ -196,73 +196,96 @@ class Config:
             return cls.from_dict(json.load(f))
 
 
-def _add_args(parser: argparse.ArgumentParser) -> None:
-    """CLI flags with reference argparse names (options.py:200-473)."""
+# reference-style spellings that must keep working (options.py:200-473)
+_ALIASES = {
+    ("model", "model_name"): ["--modelName"],
+    ("train", "num_epochs"): ["--epochs", "--num-epochs"],
+    ("test", "filename"): ["--test-filename"],
+    ("train", "trans_train"): ["--transform-train"],
+}
+
+# derived-path fields: blanked and recomputed by __post_init__ unless the
+# user set them explicitly on the CLI
+_PATH_FIELDS = [("train", "data_dir"), ("train", "save_dir"),
+                ("train", "weight_map_dir"), ("test", "img_dir"),
+                ("test", "label_dir"), ("test", "save_dir"),
+                ("test", "model_path"), ("test", "weight_map_dir"),
+                ("test", "annotation_dir")]
+
+
+def _converter(default):
+    if isinstance(default, bool):
+        return lambda s: bool(int(s))
+    if isinstance(default, int):
+        return int
+    if isinstance(default, float):
+        return float
+    if isinstance(default, tuple):
+        elem = int if (default and isinstance(default[0], int)) else str
+        return lambda s: tuple(elem(x) for x in s.split(",")) if s else ()
+    return str
+
+
+def build_parser(is_train: bool = True) -> tuple[argparse.ArgumentParser, dict]:
+    """EVERY config field is a CLI flag (full options.py:200-473 surface).
+
+    Flag name = kebab-case field name; when two sections share a field name
+    (e.g. ``branch``), the bare flag goes to the section that matters for
+    this entrypoint (train first when ``is_train``) and the other sections
+    get ``--<section>-<name>``. Values are stored as strings and converted
+    per-field (bool fields take 0/1, tuple fields comma lists).
+    """
+    parser = argparse.ArgumentParser(description="cdnet_tpu", allow_abbrev=False)
     parser.add_argument("--dataset", type=str, default=None)
-    parser.add_argument("--model-name", "--modelName", dest="model_name", type=str, default=None)
-    parser.add_argument("--batch-size", dest="batch_size", type=int, default=None)
-    parser.add_argument("--input-size", dest="input_size", type=int, default=None)
-    parser.add_argument("--epochs", dest="num_epochs", type=int, default=None)
-    parser.add_argument("--lr", type=float, default=None)
-    parser.add_argument("--optimizer", type=str, default=None)
-    parser.add_argument("--scheduler", type=str, default=None)
-    parser.add_argument("--seed", type=int, default=None)
-    parser.add_argument("--direction", type=int, default=None)
-    parser.add_argument("--mseloss", type=int, default=None)
-    parser.add_argument("--dice", type=int, default=None)
-    parser.add_argument("--checkpoint", type=str, default=None)
-    parser.add_argument("--data-dir", dest="data_dir", type=str, default=None)
-    parser.add_argument("--save-dir", dest="save_dir", type=str, default=None)
-    parser.add_argument("--postproc", type=int, default=None)
-    parser.add_argument("--min-area", dest="min_area", type=int, default=None)
-    parser.add_argument("--radius", type=int, default=None)
-    parser.add_argument("--tta", type=int, default=None)
-    parser.add_argument("--test-filename", dest="test_filename", type=str, default=None)
     parser.add_argument("--config-json", type=str, default=None,
                         help="load a full Config from JSON before applying flags")
+    template = Config()
+    order = ("model", "train", "test", "post") if is_train else \
+            ("model", "test", "train", "post")
+    taken = {"dataset", "config-json", "help"}
+    converters = {}
+    for sec in order:
+        dc = getattr(template, sec)
+        for f in dataclasses.fields(dc):
+            stem = f.name.replace("_", "-")
+            dest = f"{sec}__{f.name}"
+            names = []
+            if stem not in taken:
+                names.append(f"--{stem}")
+                taken.add(stem)
+            qual = f"{sec}-{stem}"
+            if qual not in taken:
+                names.append(f"--{qual}")
+                taken.add(qual)
+            for alias in _ALIASES.get((sec, f.name), []):
+                if alias.lstrip("-") not in taken:
+                    names.append(alias)
+                    taken.add(alias.lstrip("-"))
+            parser.add_argument(*names, dest=dest, type=str, default=None)
+            converters[dest] = _converter(getattr(dc, f.name))
+    return parser, converters
 
 
 def parse_args(argv: list[str] | None = None, is_train: bool = True) -> Config:
     """Build a Config from CLI flags (reference `Options(isTrain).parse()`)."""
-    parser = argparse.ArgumentParser(description="cdnet_tpu")
-    _add_args(parser)
+    parser, converters = build_parser(is_train)
     ns = parser.parse_args(argv)
     cfg = Config.from_json(ns.config_json) if ns.config_json else Config()
     cfg.is_train = is_train
     if ns.dataset:
         cfg.dataset = ns.dataset
-    for name, target in [
-        ("model_name", (cfg.model, "model_name")),
-        ("direction", (cfg.model, "direction")),
-        ("mseloss", (cfg.model, "mseloss")),
-        ("dice", (cfg.model, "dice")),
-        ("batch_size", (cfg.train, "batch_size")),
-        ("input_size", (cfg.train, "input_size")),
-        ("num_epochs", (cfg.train, "num_epochs")),
-        ("lr", (cfg.train, "lr")),
-        ("optimizer", (cfg.train, "optimizer")),
-        ("scheduler", (cfg.train, "scheduler")),
-        ("seed", (cfg.train, "seed")),
-        ("checkpoint", (cfg.train, "checkpoint")),
-        ("data_dir", (cfg.train, "data_dir")),
-        ("save_dir", (cfg.train, "save_dir")),
-        ("postproc", (cfg.post, "postproc")),
-        ("min_area", (cfg.post, "min_area")),
-        ("radius", (cfg.post, "radius")),
-        ("test_filename", (cfg.test, "filename")),
-    ]:
-        val = getattr(ns, name, None)
-        if val is not None:
-            setattr(target[0], target[1], val)
-    if ns.tta is not None:
-        cfg.test.tta = bool(ns.tta)
+    explicit = set()
+    for dest, conv in converters.items():
+        val = getattr(ns, dest, None)
+        if val is None:
+            continue
+        sec, name = dest.split("__", 1)
+        setattr(getattr(cfg, sec), name, conv(val))
+        explicit.add((sec, name))
     # re-derive dependent paths from the final flag values, keeping any path
-    # the user set explicitly (--data-dir / --save-dir)
-    if ns.data_dir is None:
-        cfg.train.data_dir = ""
-    if ns.save_dir is None:
-        cfg.train.save_dir = ""
-    cfg.train.weight_map_dir = ""
-    cfg.test.img_dir = cfg.test.label_dir = cfg.test.save_dir = cfg.test.model_path = ""
+    # the user set explicitly
+    for sec, name in _PATH_FIELDS:
+        if (sec, name) not in explicit:
+            setattr(getattr(cfg, sec), name, "")
     cfg.__post_init__()
     return cfg

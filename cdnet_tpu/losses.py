@@ -149,6 +149,23 @@ def variance_loss(probs: jnp.ndarray, instance_labels: jnp.ndarray,
     return jnp.mean(jax.vmap(per_sample)(probs, instance_labels))
 
 
+def center_loss(features: jnp.ndarray, labels: jnp.ndarray,
+                centers: jnp.ndarray) -> jnp.ndarray:
+    """Center loss (Wen et al. ECCV'16; reference loss.py:266-315).
+
+    ``features`` (B, D), ``labels`` (B,) int, ``centers`` (C, D) — a
+    learnable parameter the caller owns (the reference stores it as an
+    nn.Parameter). Squared distance of each feature to its class center.
+    Faithful quirk kept: the reference clamps AFTER masking, so every
+    off-class cell contributes the 1e-12 clamp floor to the sum."""
+    sq = (jnp.sum(features ** 2, axis=1, keepdims=True)
+          + jnp.sum(centers ** 2, axis=1)[None, :]
+          - 2.0 * features @ centers.T)
+    mask = labels[:, None] == jnp.arange(centers.shape[0])[None, :]
+    dist = jnp.clip(sq * mask, 1e-12, 1e12)
+    return jnp.sum(dist) / features.shape[0]
+
+
 def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((pred - target) ** 2)
 

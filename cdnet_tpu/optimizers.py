@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -50,6 +51,51 @@ def make_schedule(cfg, steps_per_epoch: int = 1) -> Callable[[int], float]:
     return lambda s: base
 
 
+def radam_4step(learning_rate, b1: float = 0.9, b2: float = 0.99,
+                eps: float = 1e-8, weight_decay: float = 0.0
+                ) -> optax.GradientTransformation:
+    """RAdam_4step (reference hhl_utils/radam.py:84-180, update_all=False,
+    additional_four=False): moments accumulate from step 1, but parameters
+    are frozen for the first 4 steps; afterwards the rectified-RAdam update
+    applies (its SMA term exceeds the >4 threshold from step 5 on), with
+    coupled weight decay ``p -= wd*lr*p`` in the same branch."""
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return {"step": jnp.zeros((), jnp.int32),
+                "mu": zeros, "nu": jax.tree.map(jnp.zeros_like, params)}
+
+    def update(grads, state, params=None, **_):
+        del _
+        step = state["step"] + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state["mu"], grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state["nu"], grads)
+        sf = step.astype(jnp.float32)
+        lr = learning_rate(step) if callable(learning_rate) else learning_rate
+        beta2_t = b2 ** sf
+        n_sma_max = 2.0 / (1 - b2) - 1.0
+        n_sma = n_sma_max - 2.0 * sf * beta2_t / (1 - beta2_t)
+        rect = jnp.sqrt((n_sma - 4) / (n_sma_max - 4) * (n_sma - 2) / n_sma
+                        * n_sma_max / (n_sma_max - 2))
+        step_size = lr * rect / (1 - b1 ** sf)
+        active = step > 4
+
+        def upd(m, v, p):
+            denom = jnp.sqrt(v) / jnp.sqrt(1 - beta2_t) + eps
+            u = -step_size * m / denom
+            if params is not None and weight_decay:
+                u = u - weight_decay * lr * p
+            return jnp.where(active, u, 0.0)
+
+        updates = jax.tree.map(upd, mu, nu,
+                               params if params is not None else mu)
+        return updates, {"step": step, "mu": mu, "nu": nu}
+
+    return optax.GradientTransformation(init, update)
+
+
 def get_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformation:
     """`utils.get_optimizer` parity: optimizer name -> optax transform chain."""
     t = cfg.train
@@ -73,6 +119,8 @@ def get_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformation
             optax.add_decayed_weights(wd),
             optax.radam(learning_rate=schedule, b1=0.9, b2=0.99),
         )
+    elif name == "radam4s":
+        opt = radam_4step(schedule, b1=0.9, b2=0.99, weight_decay=wd)
     elif name == "adamw":
         warmup = 4000
         warm = optax.linear_schedule(0.0, 1.0, warmup)

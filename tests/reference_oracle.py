@@ -170,6 +170,11 @@ def install() -> None:
         if alias not in np.__dict__:
             setattr(np, alias, typ)
 
+    # let reference .cuda() calls run on CPU torch (loss.py CenterLoss etc.)
+    import torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
     # numba: pass-through @jit (runs get_centerpoint2 as pure python)
     def jit(*args, **kwargs):
         if args and callable(args[0]):

@@ -61,6 +61,26 @@ def test_one_train_step_under_every_scheduler(scheduler):
     assert np.isfinite(float(metrics["loss"])), scheduler
 
 
+@pytest.mark.parametrize("opt_name", ["sgd", "adam", "radam", "radam4s",
+                                      "adamw", "ranger"])
+def test_every_optimizer_name_updates(opt_name):
+    """utils.py:907-962 name surface: every optimizer builds and applies."""
+    from cdnet_tpu.optimizers import init_params_for
+
+    cfg = _tiny_cfg("None")
+    cfg.train.optimizer = opt_name
+    opt = get_optimizer(cfg)
+    raw = {"w": jnp.ones(4), "b": jnp.zeros(2)}
+    params = init_params_for(opt_name, raw)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like,
+                         params.fast if opt_name == "ranger" else params)
+    updates, state = opt.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    leaves = jax.tree_util.tree_leaves(new)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
 def test_plateau_scale_drops_after_patience():
     """reduce_on_plateau halves the LR scale after `patience` flat steps."""
     cfg = _tiny_cfg("ReduceLROnPlateau")

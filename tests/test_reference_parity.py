@@ -286,6 +286,52 @@ class TestLossParity:
         assert float(ours) == pytest.approx(float(ref), rel=1e-4)
 
 
+class TestCenterLossParity:
+    def test_center_loss(self):
+        rng = np.random.RandomState(0)
+        feats = rng.rand(6, 3).astype(np.float32)
+        labels = rng.randint(0, 3, 6)
+        centers = rng.randn(3, 3).astype(np.float32)
+        cl = ref_loss.CenterLoss(num_classes=3, feat_dim=3, use_gpu=True)
+        cl.centers.data = torch.from_numpy(centers.copy())
+        ref = cl(torch.from_numpy(feats), torch.from_numpy(labels))
+        ours = losses.center_loss(jnp.asarray(feats), jnp.asarray(labels),
+                                  jnp.asarray(centers))
+        assert float(ours) == pytest.approx(float(ref), rel=1e-5)
+
+
+class TestRAdam4StepParity:
+    def test_update_sequence(self):
+        from hhl_utils.radam import RAdam_4step
+
+        from cdnet_tpu.optimizers import radam_4step
+
+        rng = np.random.RandomState(1)
+        w0 = rng.randn(5).astype(np.float32)
+        grads = [rng.randn(5).astype(np.float32) for _ in range(8)]
+
+        w = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        opt = RAdam_4step([w], lr=0.01, betas=(0.9, 0.99), weight_decay=0.01)
+        for g in grads:
+            w.grad = torch.from_numpy(g.copy())
+            opt.step()
+        ref = w.detach().numpy()
+
+        import optax
+        o = radam_4step(0.01, b1=0.9, b2=0.99, weight_decay=0.01)
+        params = {"w": jnp.asarray(w0)}
+        s = o.init(params)
+        frozen_checked = False
+        for i, g in enumerate(grads):
+            u, s = o.update({"w": jnp.asarray(g)}, s, params)
+            if i < 4:  # params frozen during the first 4 steps
+                assert float(jnp.abs(u["w"]).max()) == 0.0
+                frozen_checked = True
+            params = optax.apply_updates(params, u)
+        assert frozen_checked
+        np.testing.assert_allclose(np.asarray(params["w"]), ref, atol=1e-6)
+
+
 # --------------------------------------------------------------------------
 class TestTTAVotingParity:
     def test_dcm_voting(self, monkeypatch):
