@@ -26,6 +26,7 @@ class ModelConfig:
     model_name: str = "UNet2RevA1_vgg16"
     backbone: str = "None"
     pretrained: bool = True
+    pretrained_path: str = ""     # torch .pth to import (no egress here)
     multi_class: bool = True
     in_c: int = 3
     out_c: int = 3

@@ -95,8 +95,10 @@ class HRModule(nn.Module):
                     t = ys[j]
                     for k in range(i - j):
                         last = k == i - j - 1
+                        # torch pad=1 stride-2 semantics, NOT "SAME" (which
+                        # pads (0,1) on even sizes and shifts the sample grid)
                         t = ConvBN(self.channels[i] if last else self.channels[j],
-                                   strides=(2, 2),
+                                   strides=(2, 2), padding=((1, 1), (1, 1)),
                                    act=None if last else nn.relu,
                                    dtype=self.dtype,
                                    name=f"fuse{i}_{j}_down{k}")(t, train)
@@ -125,7 +127,8 @@ class _Transition(nn.Module):
                 t = xs[-1]
                 for j in range(i + 1 - len(self.in_channels)):
                     out_ch = ch if j == i - len(self.in_channels) else t.shape[-1]
-                    t = ConvBN(out_ch, strides=(2, 2), dtype=self.dtype,
+                    t = ConvBN(out_ch, strides=(2, 2),
+                               padding=((1, 1), (1, 1)), dtype=self.dtype,
                                name=f"trans{i}_down{j}")(t, train)
                 outs.append(t)
         return outs

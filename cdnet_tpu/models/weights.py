@@ -94,12 +94,123 @@ def import_resnet(state_dict: dict[str, np.ndarray], variant: str = "resnet50"):
     return params, stats
 
 
+def apply_pretrained(cfg, variables: dict) -> dict:
+    """Load a user-provided torch checkpoint into the model's variables
+    (the reference loads torchvision/MSFT pretrained weights when present:
+    model_unet_rev1.py:40-41, seg_hrnet_rev1.py:550-573).
+
+    Importer is chosen by model name; set ``cfg.model.pretrained_path`` (CLI
+    ``--pretrained-path``) to the .pth file. No egress in this environment —
+    the file must already be on disk. Returns (possibly grafted) variables.
+    """
+    import os
+
+    path = cfg.model.pretrained_path
+    if not cfg.model.pretrained or not path:
+        return variables
+    if not os.path.exists(path):
+        print(f"WARNING: pretrained_path {path} not found; random init")
+        return variables
+    sd = load_torch_state_dict(path)
+    name = cfg.model.model_name
+    if "vgg16" in name or name in ("model_unet_MandD", "model_unet_MandD4",
+                                   "model_unet_MandD16", "model_unet_MandDandP"):
+        prefix = "features." if any(k.startswith("features.") for k in sd) else ""
+        params, stats = import_vgg16_bn(sd, prefix=prefix)
+        return graft_backbone(variables, params, stats, "backbone")
+    if "resnet50" in name or "resnet101" in name:
+        variant = "resnet101" if "resnet101" in name else "resnet50"
+        params, stats = import_resnet(sd, variant)
+        return graft_backbone(variables, params, stats, "backbone")
+    if name == "HRNet18_rev1":
+        params, stats = import_hrnet18(sd)
+        return graft_backbone(variables, params, stats, backbone_name=None)
+    print(f"WARNING: no pretrained importer for {name}; random init")
+    return variables
+
+
+def import_hrnet18(state_dict: dict[str, np.ndarray]):
+    """MSFT HRNet-W18-small state dict -> (params, batch_stats) trees for
+    :class:`cdnet_tpu.models.hrnet.HRNet18DAM`'s trunk.
+
+    Key layout is the reference `HighResolutionNet` (seg_hrnet_rev1.py:
+    289-463, loaded at :550-573): stem conv1/bn1+conv2/bn2, layer1 Bottleneck
+    x2, transitions 1-3, stages 2-4 with `branches.{b}.{k}` BASIC blocks and
+    `fuse_layers.{i}.{j}` exchanges. DAM-head keys are absent from ImageNet
+    checkpoints (the reference filters to matching keys) and stay random."""
+    params: dict = {}
+    stats: dict = {}
+
+    def cb(flax_path, conv_key, bn_key):
+        d, s = params, stats
+        for n in flax_path[:-1]:
+            d = d.setdefault(n, {})
+            s = s.setdefault(n, {})
+        bn_p, bn_s = _bn(state_dict, bn_key)
+        d[flax_path[-1]] = {"Conv_0": {"kernel": _conv(state_dict, conv_key)},
+                            "BatchNorm_0": bn_p}
+        s[flax_path[-1]] = {"BatchNorm_0": bn_s}
+
+    cb(("stem1",), "conv1", "bn1")
+    cb(("stem2",), "conv2", "bn2")
+    for b in range(2):
+        base = f"layer1.{b}"
+        for i, (c, bnk) in enumerate(
+                (("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3"))):
+            cb((f"layer1_{b}", f"ConvBN_{i}"), f"{base}.{c}", f"{base}.{bnk}")
+        if f"{base}.downsample.0.weight" in state_dict:
+            cb((f"layer1_{b}", "ConvBN_3"), f"{base}.downsample.0",
+               f"{base}.downsample.1")
+
+    transitions = {1: ((256,), (18, 36)), 2: ((18, 36), (18, 36, 72)),
+                   3: ((18, 36, 72), (18, 36, 72, 144))}
+    for t, (pre, cur) in transitions.items():
+        name = f"transition{t}"
+        for i, ch in enumerate(cur):
+            if i < len(pre):
+                if pre[i] != ch:
+                    cb((name, f"trans{i}"), f"{name}.{i}.0", f"{name}.{i}.1")
+            else:
+                for j in range(i + 1 - len(pre)):
+                    cb((name, f"trans{i}_down{j}"),
+                       f"{name}.{i}.{j}.0", f"{name}.{i}.{j}.1")
+
+    stages = {2: ((18, 36), 1), 3: ((18, 36, 72), 3), 4: ((18, 36, 72, 144), 2)}
+    for st, (channels, num_modules) in stages.items():
+        n = len(channels)
+        for m in range(num_modules):
+            tb, fl = f"stage{st}.{m}", f"stage{st}_m{m}"
+            for b in range(n):
+                for k in range(2):  # NUM_BLOCKS = 2 everywhere
+                    base = f"{tb}.branches.{b}.{k}"
+                    cb((fl, f"branch{b}_block{k}", "ConvBN_0"),
+                       f"{base}.conv1", f"{base}.bn1")
+                    cb((fl, f"branch{b}_block{k}", "ConvBN_1"),
+                       f"{base}.conv2", f"{base}.bn2")
+            for i in range(n):
+                for j in range(n):
+                    if j > i:
+                        cb((fl, f"fuse{i}_{j}"),
+                           f"{tb}.fuse_layers.{i}.{j}.0",
+                           f"{tb}.fuse_layers.{i}.{j}.1")
+                    elif j < i:
+                        for k in range(i - j):
+                            cb((fl, f"fuse{i}_{j}_down{k}"),
+                               f"{tb}.fuse_layers.{i}.{j}.{k}.0",
+                               f"{tb}.fuse_layers.{i}.{j}.{k}.1")
+    return params, stats
+
+
 def graft_backbone(variables: dict, backbone_params: dict,
-                   backbone_stats: dict, backbone_name: str = "backbone"):
+                   backbone_stats: dict, backbone_name: str | None = "backbone"):
     """Replace the backbone subtree of a model's variables in-place-style.
 
     Returns new ``{"params", "batch_stats"}`` with the imported backbone.
     Shapes are validated leaf-by-leaf against the initialized tree.
+    ``backbone_name=None`` merges the imported keys at the ROOT of the tree
+    (HRNet's trunk modules are top-level siblings of the DAM head, which
+    keeps its initialized weights — the reference's filtered load,
+    seg_hrnet_rev1.py:563-567).
     """
     import jax
 
@@ -114,6 +225,16 @@ def graft_backbone(variables: dict, backbone_params: dict,
                 old = tree_old[k]
                 assert tuple(v.shape) == tuple(np.shape(old)), (
                     f"shape mismatch at {path}/{k}: {v.shape} vs {np.shape(old)}")
+
+    if backbone_name is None:
+        for k, sub in backbone_params.items():
+            check(sub, params[k], k)
+            params[k] = jax.tree.map(np.asarray, sub)
+        for k, sub in backbone_stats.items():
+            if k in stats:
+                check(sub, stats[k], k)
+                stats[k] = jax.tree.map(np.asarray, sub)
+        return {"params": params, "batch_stats": stats}
 
     check(backbone_params, params[backbone_name])
     params[backbone_name] = jax.tree.map(np.asarray, backbone_params)

@@ -83,6 +83,9 @@ def batches_of(dataset, batch_size: int, rng: np.random.RandomState,
 def init_state(cfg, model, sample_image, opt, rng_seed: int = 0) -> TrainState:
     variables = model.init(jax.random.PRNGKey(rng_seed), sample_image[:1],
                            train=False)
+    if cfg.model.pretrained and cfg.model.pretrained_path:
+        from cdnet_tpu.models.weights import apply_pretrained
+        variables = apply_pretrained(cfg, variables)
     params = init_params_for(cfg.train.optimizer, variables["params"])
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=variables.get("batch_stats", {}),
