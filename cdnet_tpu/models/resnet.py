@@ -35,10 +35,11 @@ class _BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        out = ConvBN(self.features, strides=self.strides, dtype=self.dtype,
+        out = ConvBN(self.features, strides=self.strides,
+                     padding=((1, 1), (1, 1)), dtype=self.dtype,
                      name="conv1")(x, train)
-        out = ConvBN(self.features, act=None, dtype=self.dtype,
-                     name="conv2")(out, train)
+        out = ConvBN(self.features, act=None, padding=((1, 1), (1, 1)),
+                     dtype=self.dtype, name="conv2")(out, train)
         if residual.shape != out.shape:
             residual = ConvBN(self.features, kernel=(1, 1),
                               strides=self.strides, act=None,
@@ -57,7 +58,8 @@ class _Bottleneck(nn.Module):
         residual = x
         out = ConvBN(self.features, kernel=(1, 1), dtype=self.dtype,
                      name="conv1")(x, train)
-        out = ConvBN(self.features, strides=self.strides, dtype=self.dtype,
+        out = ConvBN(self.features, strides=self.strides,
+                     padding=((1, 1), (1, 1)), dtype=self.dtype,
                      name="conv2")(out, train)
         out = ConvBN(out_ch, kernel=(1, 1), act=None, dtype=self.dtype,
                      name="conv3")(out, train)
@@ -77,7 +79,10 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x, train: bool = False):
         kind, blocks = _RESNET_BLOCKS[self.variant]
         block_cls = _Bottleneck if kind == "bottleneck" else _BasicBlock
-        x = ConvBN(64, kernel=(7, 7), strides=(2, 2), dtype=self.dtype,
+        # torch pad=3 stride-2 semantics (SAME would pad (2,3) on even
+        # sizes and shift the sample grid by one pixel)
+        x = ConvBN(64, kernel=(7, 7), strides=(2, 2),
+                   padding=((3, 3), (3, 3)), dtype=self.dtype,
                    name="stem")(x, train)
         skips = [x]  # 'relu'
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

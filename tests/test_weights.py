@@ -121,3 +121,88 @@ class TestResNetImport:
              "batch_stats": grafted["batch_stats"]["backbone"]},
             jnp.zeros((1, 32, 32, 3)), train=False)
         assert out.shape[-1] == 512
+
+
+class TorchBottleneck(torch.nn.Module):
+    """torchvision resnet Bottleneck layout (conv1/bn1 1x1, conv2/bn2 3x3
+    stride s pad 1, conv3/bn3 1x1, optional downsample), for trunk parity."""
+
+    def __init__(self, cin, planes, stride=1):
+        super().__init__()
+        out = planes * 4
+        self.conv1 = torch.nn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(planes)
+        self.conv2 = torch.nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(planes)
+        self.conv3 = torch.nn.Conv2d(planes, out, 1, bias=False)
+        self.bn3 = torch.nn.BatchNorm2d(out)
+        self.downsample = None
+        if stride != 1 or cin != out:
+            self.downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(cin, out, 1, stride, bias=False),
+                torch.nn.BatchNorm2d(out))
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return torch.relu(y + r)
+
+
+class TorchResNet50Trunk(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(64)
+        self.maxpool = torch.nn.MaxPool2d(3, 2, 1)
+        cin = 64
+        for li, (planes, n) in enumerate(zip((64, 128, 256, 512),
+                                             (3, 4, 6, 3))):
+            blocks = []
+            for b in range(n):
+                stride = 2 if (b == 0 and li > 0) else 1
+                blocks.append(TorchBottleneck(cin, planes, stride))
+                cin = planes * 4
+            setattr(self, f"layer{li + 1}", torch.nn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = self.maxpool(x)
+        return self.layer4(self.layer3(self.layer2(self.layer1(x))))
+
+
+class TestResNetTrunkForwardParity:
+    def test_resnet50_backbone_matches_torch(self, rng):
+        tm = TorchResNet50Trunk()
+        tm.eval()
+        gen = torch.Generator().manual_seed(0)
+        for m in tm.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                torch.nn.init.normal_(m.weight, std=0.05, generator=gen)
+            elif isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.data.uniform_(0.5, 1.5, generator=gen)
+                m.bias.data.normal_(0, 0.1, generator=gen)
+                m.running_mean.normal_(0, 0.1, generator=gen)
+                m.running_var.uniform_(0.5, 1.5, generator=gen)
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+        params, stats = import_resnet(sd, "resnet50")
+        model = ResNetBackbone("resnet50", dtype=jnp.float32)
+        x = rng.rand(1, 64, 64, 3).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                               train=False)
+        from cdnet_tpu.models.weights import graft_backbone
+        grafted = graft_backbone({"params": {"backbone": variables["params"]},
+                                  "batch_stats": {"backbone": variables["batch_stats"]}},
+                                 params, stats, "backbone")
+
+        out, _ = model.apply({"params": grafted["params"]["backbone"],
+                              "batch_stats": grafted["batch_stats"]["backbone"]},
+                             jnp.asarray(x), train=False)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+        got = np.transpose(np.asarray(out), (0, 3, 1, 2))
+        # activations reach ~400 after 50 conv layers; f32 reduction-order
+        # drift accumulates to ~0.3% relative on a handful of elements
+        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=1e-3)
