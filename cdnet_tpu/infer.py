@@ -24,7 +24,7 @@ from cdnet_tpu import metrics as M
 from cdnet_tpu.data.dataset import img_loader
 from cdnet_tpu.models import choose_model
 from cdnet_tpu.ops import tta as T
-from cdnet_tpu.ops.ddm import generate_dd_map
+from cdnet_tpu.ops.ddm import generate_dd_maps_batch
 from cdnet_tpu.ops.postproc import enhance_boundary, instances_from_pred
 from cdnet_tpu.ops.sliding_window import split_forward
 from cdnet_tpu.utils import AverageMeter, load_checkpoint
@@ -111,7 +111,7 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
             d_v = (T.invert(out["direction_cls"]) if use_tta
                    else out["direction_cls"])[..., 0].astype(jnp.int32)
             # dcm_combined=1: DDM per TTA view, then mean (test_dam.py:478-490)
-            ddms = jax.vmap(lambda m: generate_dd_map(m, dc))(d_v)
+            ddms = generate_dd_maps_batch(d_v, dc)
             ddm = jnp.mean(ddms, axis=0)
             res["ddm"] = ddm
             res["direction_cls"] = d_v[0]

@@ -1,11 +1,20 @@
 """Pallas TPU kernels for the post-processing hot ops.
 
 XLA expresses the DDM as ~26 separate HBM-roundtrip ops per TTA view
-(lookup, 8 padded shifts, cosines, min, normalize). This kernel fuses the
-whole map into one VMEM-resident pass per view: labels load once, the
-direction-vector lookup, the 8 neighbor cosines (via pltpu.roll with border
-masking) and the min-reduction all happen on-chip; only the final DDM is
-written back. Grid = TTA views, one (H, W) block each.
+(lookup, 8 padded shifts, cosines, min, normalize). These kernels fuse the
+whole map into VMEM-resident passes: labels load once, the direction-vector
+lookup, the 8 neighbor cosines and the min-reduction all happen on-chip;
+only the DDM is written back.
+
+Two paths:
+- single block (maps <= 512^2): grid = TTA views, one (H, W) block each,
+  normalization included in-kernel.
+- row-block tiled (arbitrary size, e.g. the 1024^2 bench tile): the label
+  map is zero-padded by one row top/bottom, each grid step DMAs a
+  (bh+2, W) window from HBM into VMEM scratch (1-px row halo; class 0 has a
+  zero direction vector, so zero padding reproduces the reference's border
+  masking exactly), and the per-view min/max normalization runs as one XLA
+  fused reduce afterwards.
 
 Numerics parity with :func:`cdnet_tpu.ops.ddm.generate_dd_map` (which remains
 the reference implementation and the fallback for non-TPU backends).
@@ -26,12 +35,9 @@ _NEIGHBORS_8 = [(1, 1), (1, 0), (1, -1), (0, 1), (0, -1),
                 (-1, 1), (-1, 0), (-1, -1)]
 
 
-def _ddm_kernel(labels_ref, out_ref, *, direction_classes: int):
-    lab = labels_ref[0]  # (H, W) int32
-    h, w = lab.shape
+def _vectors_from_labels(lab, direction_classes: int):
+    """class map -> (vh, vw) via arithmetic select (tiny class count)."""
     table = np.asarray(_LABEL_TO_VECTOR[direction_classes], dtype=np.float32)
-
-    # class -> (vh, vw) via arithmetic select (tiny class count)
     vh = jnp.zeros(lab.shape, jnp.float32)
     vw = jnp.zeros(lab.shape, jnp.float32)
     for cls in range(direction_classes):
@@ -40,6 +46,13 @@ def _ddm_kernel(labels_ref, out_ref, *, direction_classes: int):
             vh = jnp.where(is_c, table[cls, 0], vh)
         if table[cls, 1]:
             vw = jnp.where(is_c, table[cls, 1], vw)
+    return vh, vw
+
+
+def _ddm_kernel(labels_ref, out_ref, *, direction_classes: int):
+    lab = labels_ref[0]  # (H, W) int32
+    h, w = lab.shape
+    vh, vw = _vectors_from_labels(lab, direction_classes)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -74,31 +87,83 @@ def _ddm_kernel(labels_ref, out_ref, *, direction_classes: int):
     out_ref[0] = jnp.where(hi > lo, (dd - lo) / (hi - lo), jnp.zeros_like(dd))
 
 
-# one (H, W) f32 working set is h*w*4 bytes; the kernel holds ~6 such arrays
-# live (vectors, norms, min_cos, masks) -> cap the single-block path at 512^2
-# (~6 MB) to stay inside the 16 MB VMEM budget (observed 55 MB OOM at 1024^2)
+def _ddm_kernel_tiled(pad_ref, out_ref, scr_ref, sem, *, bh: int, w: int,
+                      direction_classes: int):
+    """One (bh, w) output block; reads a (bh+2, w) window with 1-row halo."""
+    v = pl.program_id(0)
+    r = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        pad_ref.at[v, pl.ds(r * bh, bh + 2), :], scr_ref, sem)
+    cp.start()
+    cp.wait()
+    lab = scr_ref[...]  # (bh+2, w) int32, zero-padded rows at map borders
+    vh, vw = _vectors_from_labels(lab, direction_classes)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1)
+    c_vh, c_vw = vh[1:bh + 1], vw[1:bh + 1]
+    center_norm = jnp.sqrt(c_vh * c_vh + c_vw * c_vw)
+
+    min_cos = jnp.full((bh, w), jnp.inf, jnp.float32)
+    for dy, dx in _NEIGHBORS_8:
+        nh = vh[1 + dy:bh + 1 + dy]   # static row shift within the halo
+        nw = vw[1 + dy:bh + 1 + dy]
+        if dx:
+            nh = pltpu.roll(nh, (-dx) % w, 1)
+            nw = pltpu.roll(nw, (-dx) % w, 1)
+            valid = cols < w - 1 if dx == 1 else cols > 0
+            nh = jnp.where(valid, nh, 0.0)
+            nw = jnp.where(valid, nw, 0.0)
+        dot = c_vh * nh + c_vw * nw
+        nb_norm = jnp.sqrt(nh * nh + nw * nw)
+        min_cos = jnp.minimum(min_cos, dot / (center_norm * nb_norm + 1e-6))
+
+    min_cos = jnp.where(lab[1:bh + 1] == 0, 1.0, min_cos)
+    out_ref[0] = 1.0 - jnp.round(min_cos)
+
+
+# one (H, W) f32 working set is h*w*4 bytes; the single-block kernel holds ~6
+# such arrays live -> cap it at 512^2 (~6 MB of the 16 MB VMEM); larger maps
+# take the row-tiled path
 _VMEM_SAFE_PIXELS = 512 * 512
+_ROW_BLOCK = 256
 
 
 @functools.partial(jax.jit, static_argnames=("direction_classes",))
 def generate_dd_maps_pallas(label_direction: jnp.ndarray,
                             direction_classes: int = 9) -> jnp.ndarray:
-    """(V, H, W) int direction-class maps -> (V, H, W) DDMs, one fused pass
-    per view. Requires the 8-direction class layout (the CDNet default).
-    Falls back to the XLA implementation for maps larger than 512x512
-    (single-block VMEM budget)."""
+    """(V, H, W) int direction-class maps -> (V, H, W) DDMs, fused in VMEM.
+    Requires the 8-direction class layout (the CDNet default)."""
     assert direction_classes - 1 == 8, "pallas kernel covers the 8-dir layout"
     v, h, w = label_direction.shape
-    if h * w > _VMEM_SAFE_PIXELS:
-        from cdnet_tpu.ops.ddm import generate_dd_map
-        return jax.vmap(
-            lambda m: generate_dd_map(m, direction_classes))(label_direction)
-    return pl.pallas_call(
-        functools.partial(_ddm_kernel, direction_classes=direction_classes),
-        grid=(v,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+    if h * w <= _VMEM_SAFE_PIXELS:
+        return pl.pallas_call(
+            functools.partial(_ddm_kernel, direction_classes=direction_classes),
+            grid=(v,),
+            in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((v, h, w), jnp.float32),
+        )(label_direction.astype(jnp.int32))
+
+    bh = _ROW_BLOCK
+    hp = -(-h // bh) * bh
+    wp = -(-w // 128) * 128  # lane-dim alignment
+    pad = jnp.pad(label_direction.astype(jnp.int32),
+                  ((0, 0), (1, hp - h + 1), (0, wp - w)))
+    dd = pl.pallas_call(
+        functools.partial(_ddm_kernel_tiled, bh=bh, w=wp,
+                          direction_classes=direction_classes),
+        grid=(v, hp // bh),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, bh, wp), lambda i, r: (i, r, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((v, h, w), jnp.float32),
-    )(label_direction.astype(jnp.int32))
+        out_shape=jax.ShapeDtypeStruct((v, hp, wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bh + 2, wp), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+    )(pad)[:, :h, :w]
+    # per-view normalization (test_dam's generate_dd_map tail) as one XLA
+    # fused reduce+scale
+    lo = jnp.min(dd, axis=(1, 2), keepdims=True)
+    hi = jnp.max(dd, axis=(1, 2), keepdims=True)
+    return jnp.where(hi > lo, (dd - lo) / (hi - lo), 0.0)
