@@ -45,6 +45,10 @@ class ModelConfig:
     dilations: tuple[int, ...] = (1, 2, 4, 8, 16, 4, 1)
     is_hybrid: bool = True
     layer_type: str = "basic"
+    # stem of {data_dir}/{mean_std}.npy — a (2,3) array [mean, std] in [0,1]
+    # units, applied after to_tensor when 'normalize' is in trans_train
+    # (options.py:55,355,471)
+    mean_std: str = "mean_std"
     # TPU-native additions (no reference equivalent)
     compute_dtype: str = "bfloat16"   # activations/conv compute dtype
     param_dtype: str = "float32"

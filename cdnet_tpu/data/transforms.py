@@ -265,6 +265,18 @@ class Compose:
         return imgs
 
 
+def load_mean_std(cfg):
+    """(mean, std) for Normalize when 'normalize' is in cfg.train.trans_train,
+    loaded from {data_dir}/{mean_std}.npy — a (2,3) array in [0,1] units
+    (options.py:355,471). Returns None when normalization is off."""
+    if "normalize" not in cfg.train.trans_train:
+        return None
+    import os
+    arr = np.load(os.path.join(cfg.train.data_dir,
+                               cfg.model.mean_std + ".npy"))
+    return (np.asarray(arr[0], np.float32), np.asarray(arr[1], np.float32))
+
+
 def get_transforms(names, input_size: int = 256, seed: int = 2022,
                    mean=None, std=None) -> Compose:
     """`get_transforms(param_dict)` parity (my_transforms_direction.py:1049-1071):

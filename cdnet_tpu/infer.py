@@ -263,6 +263,12 @@ def main(argv=None):
         from cdnet_tpu.parallel import make_mesh
         mesh = make_mesh()
 
+    # test-time Normalize parity (options.py:469-472): when the model was
+    # trained with 'normalize' in trans_train, the test transform applies
+    # (x/255 - mean)/std with mean_std.npy from the dataset dir
+    from cdnet_tpu.data.transforms import load_mean_std
+    mean_std = load_mean_std(cfg)
+
     os.makedirs(cfg.test.save_dir, exist_ok=True)
     meter = AverageMeter(len(REF_HEADER))
     all_results = {}
@@ -275,6 +281,8 @@ def main(argv=None):
                          np.float32) / 255.0
         if img.ndim == 2:
             img = img[..., None]
+        if mean_std is not None:
+            img = (img - mean_std[0]) / mean_std[1]
         if pipeline is None:
             pipeline = build_pipeline(model, variables, cfg, img.shape[:2],
                                       mesh=mesh)

@@ -56,7 +56,9 @@ def choose_model(cfg):
     if name == "SegResNet":
         return SegResNet(num_classes=m.out_c, dtype=dtype)
     if name == "DeepLab":
-        return DeepLabV3Plus(num_classes=m.out_c, dtype=dtype)
+        # reference default backbone is xception (deeplabv3_plus.py:337)
+        bb = m.backbone if m.backbone not in ("None", "") else "xception"
+        return DeepLabV3Plus(num_classes=m.out_c, backbone=bb, dtype=dtype)
     if name == "FCN8":
         return FCN8(num_classes=m.out_c, dtype=dtype)
     raise ValueError(f"unknown modelName: {name}")

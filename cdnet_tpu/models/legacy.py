@@ -194,8 +194,105 @@ class _ASPP(nn.Module):
         return ConvBN(self.features, kernel=(1, 1), dtype=self.dtype)(out, train)
 
 
+class _SepConv(nn.Module):
+    """Depthwise 3x3 -> BN -> pointwise 1x1, no activation
+    (deeplabv3_plus.py:70-87 SeparableConv2d). Depthwise = grouped conv with
+    feature_group_count=C; torch pad=max(1, dilation) kept symmetric."""
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        p = max(1, self.dilation)
+        x = nn.Conv(c, (3, 3), strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    feature_group_count=c, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return nn.Conv(self.features, (1, 1), use_bias=False,
+                       dtype=self.dtype, param_dtype=jnp.float32)(x)
+
+
+class _XBlock(nn.Module):
+    """Xception residual block of 3 separable convs (deeplabv3_plus.py:89-132).
+
+    Channel plan [relu, sep, bn] x3: normal flow is in->out->out->out with the
+    stride on the LAST sep; exit flow is in->in->out->out; ``use_1st_relu``
+    False drops the leading relu (block1 only, fed by un-activated bn2)."""
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    exit_flow: bool = False
+    use_1st_relu: bool = True
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_c = x.shape[-1]
+        chans = ([in_c, self.features, self.features] if self.exit_flow
+                 else [self.features] * 3)
+        out = x
+        for i, c in enumerate(chans):
+            if i > 0 or self.use_1st_relu:
+                out = nn.relu(out)
+            out = _SepConv(c, stride=self.stride if i == 2 else 1,
+                           dilation=self.dilation, dtype=self.dtype)(out, train)
+            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               dtype=self.dtype, param_dtype=jnp.float32)(out)
+        if in_c != self.features or self.stride != 1:
+            skip = nn.Conv(self.features, (1, 1),
+                           strides=(self.stride, self.stride), use_bias=False,
+                           dtype=self.dtype, param_dtype=jnp.float32)(x)
+            skip = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                dtype=self.dtype, param_dtype=jnp.float32)(skip)
+        else:
+            skip = x
+        return out + skip
+
+
+class XceptionBackbone(nn.Module):
+    """Modified Xception-65 encoder (deeplabv3_plus.py:134-247): entry flow
+    (stem + 3 strided blocks), 16 middle-flow blocks at 728ch, exit flow with
+    dilated separable convs. Returns (stride-16 features 2048ch,
+    low-level features 128ch at stride 4)."""
+    output_stride: int = 16
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b3_s, mf_d, ef_d = ((2, 1, (1, 2)) if self.output_stride == 16
+                            else (1, 2, (2, 4)))
+        x = ConvBN(32, strides=(2, 2), padding=((1, 1), (1, 1)),
+                   dtype=self.dtype)(x, train)
+        # conv2+bn2 with NO relu: block1 starts with a sepconv directly
+        x = ConvBN(64, padding=((1, 1), (1, 1)), act=None,
+                   dtype=self.dtype)(x, train)
+        x = _XBlock(128, stride=2, use_1st_relu=False,
+                    dtype=self.dtype)(x, train)
+        low = x  # low_level_features before relu (deeplabv3_plus.py:209)
+        x = nn.relu(x)
+        x = _XBlock(256, stride=2, dtype=self.dtype)(x, train)
+        x = _XBlock(728, stride=b3_s, dtype=self.dtype)(x, train)
+        for _ in range(16):  # middle flow, blocks 4..19
+            x = _XBlock(728, dilation=mf_d, dtype=self.dtype)(x, train)
+        x = _XBlock(1024, dilation=ef_d[0], exit_flow=True,
+                    dtype=self.dtype)(x, train)
+        for c in (1536, 1536, 2048):  # conv3/4/5 + bn + relu
+            x = nn.relu(x)
+            x = _SepConv(c, dilation=ef_d[1], dtype=self.dtype)(x, train)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return nn.relu(x), low
+
+
 class DeepLabV3Plus(nn.Module):
-    """DeepLabV3+ with a ResNet encoder (deeplabv3_plus.py:336+)."""
+    """DeepLabV3+ (deeplabv3_plus.py:336+). ``backbone``: 'xception' (the
+    reference default) or a ResNet name; low-level skip taken at stride 4."""
     num_classes: int = 3
     backbone: str = "resnet50"
     dtype: object = jnp.bfloat16
@@ -204,9 +301,13 @@ class DeepLabV3Plus(nn.Module):
     def __call__(self, x, train: bool = False):
         h, w = x.shape[1], x.shape[2]
         x = x.astype(self.dtype)
-        feats, skips = ResNetBackbone(self.backbone, dtype=self.dtype,
-                                      name="backbone")(x, train)
-        low = skips[1]  # layer1 output (stride 4)
+        if "xception" in self.backbone:
+            feats, low = XceptionBackbone(dtype=self.dtype,
+                                          name="backbone")(x, train)
+        else:
+            feats, skips = ResNetBackbone(self.backbone, dtype=self.dtype,
+                                          name="backbone")(x, train)
+            low = skips[1]  # layer1 output (stride 4)
         aspp = _ASPP(dtype=self.dtype)(feats, train)
         aspp = resize_bilinear(aspp, low.shape[1], low.shape[2])
         low = ConvBN(48, kernel=(1, 1), dtype=self.dtype)(low, train)

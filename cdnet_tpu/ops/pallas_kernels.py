@@ -87,26 +87,33 @@ def _ddm_kernel(labels_ref, out_ref, *, direction_classes: int):
     out_ref[0] = jnp.where(hi > lo, (dd - lo) / (hi - lo), jnp.zeros_like(dd))
 
 
+# Mosaic memref slices must be aligned to the (8, 128) int32 tiling along the
+# sublane dim: both the slice start and length need to be multiples of 8. A
+# 1-row halo (bh+2 rows) is rejected ("Slice shape ... must be aligned to
+# tiling (8), but is 258"), so the halo is 8 rows per side; only +-1 is read.
+_HALO = 8
+
+
 def _ddm_kernel_tiled(pad_ref, out_ref, scr_ref, sem, *, bh: int, w: int,
                       direction_classes: int):
-    """One (bh, w) output block; reads a (bh+2, w) window with 1-row halo."""
+    """One (bh, w) output block; reads a (bh+2*_HALO, w) window (row halo)."""
     v = pl.program_id(0)
     r = pl.program_id(1)
     cp = pltpu.make_async_copy(
-        pad_ref.at[v, pl.ds(r * bh, bh + 2), :], scr_ref, sem)
+        pad_ref.at[v, pl.ds(r * bh, bh + 2 * _HALO), :], scr_ref, sem)
     cp.start()
     cp.wait()
-    lab = scr_ref[...]  # (bh+2, w) int32, zero-padded rows at map borders
+    lab = scr_ref[...]  # (bh+2*_HALO, w) int32, zero-padded at map borders
     vh, vw = _vectors_from_labels(lab, direction_classes)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1)
-    c_vh, c_vw = vh[1:bh + 1], vw[1:bh + 1]
+    c_vh, c_vw = vh[_HALO:bh + _HALO], vw[_HALO:bh + _HALO]
     center_norm = jnp.sqrt(c_vh * c_vh + c_vw * c_vw)
 
     min_cos = jnp.full((bh, w), jnp.inf, jnp.float32)
     for dy, dx in _NEIGHBORS_8:
-        nh = vh[1 + dy:bh + 1 + dy]   # static row shift within the halo
-        nw = vw[1 + dy:bh + 1 + dy]
+        nh = vh[_HALO + dy:bh + _HALO + dy]   # static row shift in the halo
+        nw = vw[_HALO + dy:bh + _HALO + dy]
         if dx:
             nh = pltpu.roll(nh, (-dx) % w, 1)
             nw = pltpu.roll(nw, (-dx) % w, 1)
@@ -117,7 +124,7 @@ def _ddm_kernel_tiled(pad_ref, out_ref, scr_ref, sem, *, bh: int, w: int,
         nb_norm = jnp.sqrt(nh * nh + nw * nw)
         min_cos = jnp.minimum(min_cos, dot / (center_norm * nb_norm + 1e-6))
 
-    min_cos = jnp.where(lab[1:bh + 1] == 0, 1.0, min_cos)
+    min_cos = jnp.where(lab[_HALO:bh + _HALO] == 0, 1.0, min_cos)
     out_ref[0] = 1.0 - jnp.round(min_cos)
 
 
@@ -150,7 +157,7 @@ def generate_dd_maps_pallas(label_direction: jnp.ndarray,
     hp = -(-h // bh) * bh
     wp = -(-w // 128) * 128  # lane-dim alignment
     pad = jnp.pad(label_direction.astype(jnp.int32),
-                  ((0, 0), (1, hp - h + 1), (0, wp - w)))
+                  ((0, 0), (_HALO, hp - h + _HALO), (0, wp - w)))
     dd = pl.pallas_call(
         functools.partial(_ddm_kernel_tiled, bh=bh, w=wp,
                           direction_classes=direction_classes),
@@ -159,7 +166,7 @@ def generate_dd_maps_pallas(label_direction: jnp.ndarray,
         out_specs=pl.BlockSpec((1, bh, wp), lambda i, r: (i, r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((v, hp, wp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bh + 2, wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bh + 2 * _HALO, wp), jnp.int32),
                         pltpu.SemaphoreType.DMA],
     )(pad)[:, :h, :w]
     # per-view normalization (test_dam's generate_dd_map tail) as one XLA

@@ -39,8 +39,14 @@ def build_dataset(cfg, synthetic: int = 0, label_postfix: str = "label.npy",
     """Train dataset: synthetic tiles or the reference directory layout
     (images/{split}, weight_maps/{split}, labels_instance/{split}; postfix
     'label.npy' for MoNuSeg, 'label.mat' for CPM17 — train.py:233-238)."""
+    from cdnet_tpu.data.transforms import load_mean_std
     names = [n for n in cfg.train.trans_train if n != "label_encoding"]
-    tf = get_transforms(names, cfg.train.input_size, cfg.train.seed)
+    ms = load_mean_std(cfg) if not synthetic else None
+    if ms is None:
+        names = [n for n in names if n != "normalize"]
+    tf = get_transforms(names, cfg.train.input_size, cfg.train.seed,
+                        mean=ms[0] if ms else None,
+                        std=ms[1] if ms else None)
     if synthetic:
         return SyntheticDataset(synthetic, max(cfg.train.input_size, 64),
                                 cfg.train.seed, data_transform=tf)

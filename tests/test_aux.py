@@ -136,6 +136,35 @@ class TestTransformsExtra:
         assert out[2].dtype == np.int32
 
 
+class TestNormalize:
+    def test_normalize_applies_to_image_only(self):
+        rng = np.random.RandomState(0)
+        img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        wmap = (rng.rand(16, 16) * 255).astype(np.uint8)
+        inst = np.zeros((16, 16), np.int32)
+        mean = np.array([0.7, 0.5, 0.6], np.float32)
+        std = np.array([0.2, 0.25, 0.3], np.float32)
+        tf = TR.get_transforms(["to_tensor", "normalize"], mean=mean, std=std)
+        out = tf((img, wmap, inst))
+        np.testing.assert_allclose(
+            out[0], (img.astype(np.float32) / 255.0 - mean) / std, rtol=1e-6)
+        np.testing.assert_array_equal(out[2], inst)
+
+    def test_load_mean_std(self, tmp_path):
+        """options.py:355,471: mean_std.npy from the dataset dir, gated on
+        'normalize' in trans_train (Weak #9: must be reachable at test time)."""
+        from cdnet_tpu.config import Config
+        arr = np.array([[0.7, 0.5, 0.6], [0.2, 0.25, 0.3]], np.float32)
+        np.save(tmp_path / "mean_std.npy", arr)
+        cfg = Config()
+        cfg.train.data_dir = str(tmp_path)
+        assert TR.load_mean_std(cfg) is None  # default trans has no normalize
+        cfg.train.trans_train = tuple(cfg.train.trans_train) + ("normalize",)
+        mean, std = TR.load_mean_std(cfg)
+        np.testing.assert_allclose(mean, arr[0])
+        np.testing.assert_allclose(std, arr[1])
+
+
 class TestDcmVotingMode:
     def test_consensus(self):
         d = np.zeros((8, 4, 4), np.int32)

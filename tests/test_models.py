@@ -123,3 +123,21 @@ class TestExtendedZoo:
         model = choose_model(cfg_for(name))
         _, out = _init_apply(model, (1, 64, 64, 3))
         assert out["mask"].shape == (1, 64, 64, 3), name
+
+    def test_xception_backbone_contract(self):
+        """deeplabv3_plus.py:134-247: stride-16 2048ch features + stride-4
+        128ch low-level skip; 16 middle-flow blocks at 728ch."""
+        from cdnet_tpu.models.legacy import XceptionBackbone
+        model = XceptionBackbone(dtype=jnp.float32)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        feats, low = model.apply(variables, x, train=False)
+        assert feats.shape == (1, 4, 4, 2048)
+        assert low.shape == (1, 16, 16, 128)
+
+    def test_deeplab_resnet_variant(self):
+        cfg = cfg_for("DeepLab")
+        cfg.model.backbone = "resnet50"
+        model = choose_model(cfg)
+        _, out = _init_apply(model, (1, 64, 64, 3))
+        assert out["mask"].shape == (1, 64, 64, 3)
