@@ -67,6 +67,7 @@ class TestStain:
         assert not np.array_equal(out[3], ori[3])
 
 
+@pytest.mark.slow
 class TestDcanMicronet:
     def test_dcan_splits_by_contour(self):
         blb = np.zeros((32, 32), np.float32)

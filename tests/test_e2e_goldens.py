@@ -17,6 +17,9 @@ def tiny_cfg(name="UNet"):
     return cfg
 
 
+pytestmark = pytest.mark.slow
+
+
 class TestStitchingGolden:
     def test_tiled_equals_whole_for_fullres_model(self, rng):
         # FullNet has no pooling: every output pixel depends only on a local

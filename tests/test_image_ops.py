@@ -45,6 +45,7 @@ class TestMorphology:
         out = np.asarray(morphology.dilation(lab, 1))
         assert out[2, 3] == 5  # overlapping dilations -> max label
 
+    @pytest.mark.slow
     def test_fill_holes_vs_scipy(self, rng):
         mask = blobs(rng, n=4) > 0
         mask[10:20, 10:20] = True
@@ -53,6 +54,7 @@ class TestMorphology:
         want = ndi.binary_fill_holes(mask)
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.slow
     def test_fill_holes_border_open_region_not_filled(self):
         mask = np.zeros((16, 16), bool)
         mask[4:12, 4:12] = True
@@ -96,6 +98,7 @@ class TestConnected:
         assert int(n) == 2
         assert got[1, 5] == 1 and got[6, 1] == 2
 
+    @pytest.mark.slow
     def test_spiral_worst_case(self):
         # a long snake exercises the while_loop fixpoint
         mask = np.zeros((32, 32), bool)

@@ -1,6 +1,7 @@
 """Learning regression: a tiny model must fit a few synthetic tiles
 (guards the full synthesis -> loss -> optimizer loop against silent breaks)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -11,6 +12,38 @@ from cdnet_tpu.optimizers import get_optimizer, init_params_for
 from cdnet_tpu.parallel import TrainState, make_train_step
 
 
+def test_one_train_step_smoke():
+    """Fast-gate: one full train step (synthesis -> loss -> grad -> update)
+    compiles and yields a finite, changing loss at tiny shape."""
+    cfg = Config()
+    cfg.model.model_name = "UNet"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.direction = 0
+    cfg.model.mseloss = 0
+
+    rng = np.random.RandomState(0)
+    inst = np.zeros((2, 32, 32), np.int32)
+    inst[:, 8:16, 8:16] = 1
+    batch = {
+        "image": jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32),
+        "weight": jnp.full((2, 32, 32), 20.0, jnp.float32),
+        "instance": jnp.asarray(inst),
+    }
+    model = choose_model(cfg)
+    opt = get_optimizer(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch["image"][:1],
+                           train=False)
+    params = init_params_for(cfg.train.optimizer, variables["params"])
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=variables["batch_stats"],
+                       opt_state=opt.init(params))
+    step = make_train_step(model, cfg, opt, max_instances=8)
+    state2, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert int(state2.step) == 1
+
+
+@pytest.mark.slow
 def test_unet_fits_synthetic_tiles():
     cfg = Config()
     cfg.model.model_name = "UNet"

@@ -9,9 +9,13 @@ from cdnet_tpu.models import choose_model
 
 
 def _init_apply(model, shape=(1, 64, 64, 3)):
+    # jit both phases: eager per-op dispatch costs 30s+ for the deep zoo
+    # models, while the jitted program lands in the persistent compile cache
+    # (tests/conftest.py) so repeat suite runs skip the compile entirely
     x = jnp.zeros(shape, jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    out = model.apply(variables, x, train=False)
+    variables = jax.jit(lambda k, a: model.init(k, a, train=False))(
+        jax.random.PRNGKey(0), x)
+    out = jax.jit(lambda v, a: model.apply(v, a, train=False))(variables, x)
     return variables, out
 
 
@@ -26,6 +30,7 @@ def cfg_for(name):
     return c
 
 
+@pytest.mark.slow
 class TestHeads:
     def test_unet_single_head(self):
         model = choose_model(cfg_for("UNet"))
@@ -71,6 +76,21 @@ class TestHeads:
             choose_model(cfg_for("NopeNet"))
 
 
+class TestFastSmoke:
+    """Fast-gate coverage: head contracts at tiny shape (the full-size and
+    full-zoo variants are @slow)."""
+
+    def test_unet_head_tiny(self):
+        model = choose_model(cfg_for("UNet"))
+        _, out = _init_apply(model, (1, 32, 32, 3))
+        assert set(out) == {"mask"}
+        assert out["mask"].shape == (1, 32, 32, 3)
+
+    def test_unknown_name_raises_fast(self):
+        with pytest.raises(ValueError):
+            choose_model(cfg_for("NopeNet"))
+
+
 class TestParams:
     def test_vgg_backbone_param_count(self):
         # torchvision vgg16_bn.features has 14.72M params (convs+bns)
@@ -90,6 +110,7 @@ class TestParams:
         assert "batch_stats" in mutated
 
 
+@pytest.mark.slow
 class TestExtendedZoo:
     @pytest.mark.parametrize("name", ["UNet_resnet50", "SegNet", "PSPNet",
                                       "DeepLab", "FCN8", "HRNet18"])
@@ -130,8 +151,10 @@ class TestExtendedZoo:
         from cdnet_tpu.models.legacy import XceptionBackbone
         model = XceptionBackbone(dtype=jnp.float32)
         x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        variables = model.init(jax.random.PRNGKey(0), x, train=False)
-        feats, low = model.apply(variables, x, train=False)
+        variables = jax.jit(lambda k, a: model.init(k, a, train=False))(
+            jax.random.PRNGKey(0), x)
+        feats, low = jax.jit(lambda v, a: model.apply(v, a, train=False))(
+            variables, x)
         assert feats.shape == (1, 4, 4, 2048)
         assert low.shape == (1, 16, 16, 128)
 

@@ -45,6 +45,7 @@ class TestDataParallel:
     def test_eight_devices_available(self):
         assert len(jax.devices()) == 8
 
+    @pytest.mark.slow
     def test_loss_identical_1_vs_8_devices(self):
         cfg = tiny_cfg()
         model = choose_model(cfg)
@@ -84,6 +85,7 @@ class TestDataParallel:
             assert d.max() <= 2.01 * lr
         assert n_bad / n_total < 0.01, (n_bad, n_total)
 
+    @pytest.mark.slow
     def test_loss_decreases_over_steps(self):
         cfg = tiny_cfg()
         model = choose_model(cfg)
@@ -117,6 +119,7 @@ class TestInferMesh:
     """VERDICT item 8: the inference pipeline sharded over the mesh (TTA/tile
     batch axis) must equal the unsharded pipeline."""
 
+    @pytest.mark.slow
     def test_tta_batch_sharded_equals_unsharded(self):
         from cdnet_tpu.infer import build_pipeline
 

@@ -119,6 +119,7 @@ class TestDDMParity:
         ours = np.asarray(our_ddm(jnp.asarray(d), classes))
         assert np.allclose(ours, ref, atol=1e-5)
 
+    @pytest.mark.slow
     def test_synthesized_direction_map(self):
         inst = _tile(7)
         s = synthesize_labels(jnp.asarray(inst), max_instances=16)

@@ -13,6 +13,9 @@ from cdnet_tpu.models.weights import (graft_backbone, import_resnet,
 
 torch = pytest.importorskip("torch")
 
+# torch-eval + flax forward parity at real backbone width: compile-heavy
+pytestmark = pytest.mark.slow
+
 
 def fake_vgg16_bn_sd(rng):
     """torchvision vgg16_bn.features key layout with random values."""
