@@ -81,6 +81,15 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
 
     ``mesh``: optional jax.sharding.Mesh — shards the TTA/tile batch axis
     across devices (tile-parallel inference; BASELINE v5e-8 target)."""
+    # pin the variables on device ONCE: callers typically hold numpy trees
+    # (checkpoint restore), and passing those to jit re-uploads the full
+    # parameter set every call (measured 1.0s/call for the 82MB flagship
+    # tree through the TPU tunnel — 3x the whole forward pass)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+    else:
+        variables = jax.device_put(variables)
     model_fn = make_model_fn(model, mesh)
     use_tta = cfg.test.tta
     patch, overlap = cfg.test.patch_size, cfg.test.overlap
