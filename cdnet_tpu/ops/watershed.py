@@ -4,15 +4,23 @@ TPU-native replacement for skimage.segmentation.watershed as used by the
 reference's instance post-processing (`/root/reference/postproc_other.py:47`:
 ``watershed(-dist, marker, mask=pred)`` with ``dist`` a uint8 distance map).
 
-Design: a rising-water-level sweep. The flood level runs over the 256 possible
-uint8 distance values from high to low; at each level, labels propagate
-breadth-first (an inner `lax.while_loop` fixpoint) into unlabeled mask pixels
-whose distance is >= the level. This reproduces skimage's ordered flooding;
-only the tie-breaking *within* an equal-distance plateau reached by two basins
-simultaneously can differ (skimage uses FIFO insertion order; we resolve ties
-to the larger label id deterministically). Watershed lines therefore match up
-to plateau boundaries — sub-pixel-scale differences the dilation step after
-post-processing absorbs.
+Design: the image-foresting-transform (IFT) characterization of marker
+watershed — a pixel belongs to the marker reachable by the path maximizing
+the minimum ``dist`` along the path (the minimax/bottleneck metric; flooding
+in decreasing ``dist`` order computes exactly this assignment, up to
+tie-breaking). The (bottleneck value, label) pair packs into ONE int32 key
+(``value << 16 | label``) so the whole flood is a single ``lax.while_loop``
+fixpoint of 4-neighbor max-min relaxations: per iteration one vectorized pass,
+converging in O(region diameter) iterations. The previous rising-level design
+needed 256 levels x a BFS fixpoint each (512+ sequential passes; measured
+~65 ms per 8x256^2 batch vs ~6 ms for this formulation).
+
+Tie-breaking: skimage floods FIFO within an equal-``dist`` plateau; here ties
+in bottleneck value resolve deterministically to the larger label id (the max
+over packed keys). Watershed lines therefore match up to plateau boundaries —
+sub-pixel-scale differences the dilation step after post-processing absorbs
+(tests/test_label_ops.py::TestWatershed pins >95% agreement with a verbatim
+priority-flood oracle).
 """
 from __future__ import annotations
 
@@ -22,6 +30,8 @@ import jax.numpy as jnp
 from cdnet_tpu.ops.morphology import shifted_views
 
 _OFFS_4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
+_LABEL_BITS = 16
+_LABEL_MASK = (1 << _LABEL_BITS) - 1
 
 
 def watershed(dist: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
@@ -30,33 +40,32 @@ def watershed(dist: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
 
     Equivalent to skimage ``watershed(-dist, markers, mask=mask)`` with
     4-connectivity (skimage default connectivity=1). ``dist`` is quantized
-    to integer levels in [0, num_levels).
+    to integer levels in [0, num_levels); labels must fit in 16 bits.
     """
     mask = mask.astype(bool)
     markers = jnp.where(mask, markers.astype(jnp.int32), 0)
     dist = jnp.clip(jnp.asarray(dist), 0, num_levels - 1).astype(jnp.int32)
 
-    def propagate_at(labels, level):
-        """Fixpoint: grow labels into mask pixels with dist >= level."""
-        candidates = mask & (labels == 0) & (dist >= level)
+    is_marker = markers > 0
+    key = jnp.where(is_marker, (dist << _LABEL_BITS) | markers, 0)
+    grow = mask & ~is_marker
 
-        def cond(state):
-            lab, changed = state
-            return changed
+    def cond(state):
+        _, changed = state
+        return changed
 
-        def body(state):
-            lab, _ = state
-            nb = lab
-            for _, view in shifted_views(lab, _OFFS_4, 0):
-                nb = jnp.maximum(nb, view)
-            new = jnp.where(candidates & (lab == 0), nb, lab)
-            return new, jnp.any(new != lab)
+    def body(state):
+        k, _ = state
+        best = k
+        for _, view in shifted_views(k, _OFFS_4, 0):
+            # neighbor's bottleneck value capped by my own dist, keeping the
+            # neighbor's label; unlabeled neighbors (label 0) contribute 0
+            val = jnp.minimum(view >> _LABEL_BITS, dist)
+            cand = (val << _LABEL_BITS) | (view & _LABEL_MASK)
+            best = jnp.maximum(best, jnp.where((view & _LABEL_MASK) > 0,
+                                               cand, 0))
+        new = jnp.where(grow, best, k)
+        return new, jnp.any(new != k)
 
-        labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.array(True)))
-        return labels
-
-    def level_step(i, labels):
-        level = num_levels - 1 - i
-        return propagate_at(labels, level)
-
-    return jax.lax.fori_loop(0, num_levels, level_step, markers)
+    key, _ = jax.lax.while_loop(cond, body, (key, jnp.array(True)))
+    return jnp.where(mask, key & _LABEL_MASK, 0)

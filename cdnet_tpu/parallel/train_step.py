@@ -130,8 +130,13 @@ def make_train_step(model, cfg, opt: optax.GradientTransformation,
     return train_step
 
 
-def make_eval_step(model, cfg, max_instances: int = 160) -> Callable:
-    """Jitted validation step: (state, batch) -> metrics (no grads)."""
+def make_eval_step(model, cfg, max_instances: int = 160,
+                   return_pred: bool = False) -> Callable:
+    """Jitted validation step: (state, batch) -> metrics (no grads).
+
+    ``return_pred=True`` additionally returns (pred argmax, 3-class target)
+    for the driver's optional object-level validation metrics
+    (train_util_dam.py:589-605, the do_object_metric path)."""
 
     @jax.jit
     def eval_step(state: TrainState, batch: dict):
@@ -144,6 +149,8 @@ def make_eval_step(model, cfg, max_instances: int = 160) -> Callable:
         pred = jnp.argmax(out["mask"], axis=-1)
         metrics = dict(comps)
         metrics.update(pixel_metrics_device(pred, targets["mask"]))
+        if return_pred:
+            return metrics, pred, targets["mask"]
         return metrics
 
     return eval_step

@@ -108,6 +108,11 @@ def main(argv=None):
     parser.add_argument("--native-loader", action="store_true",
                         help="use the C++ fused batch assembler (crop/flip/"
                              "jitter path; bypasses the full transform stack)")
+    parser.add_argument("--do-object-metric", action="store_true",
+                        help="object-level recall/precision/F1/dice/iou/AJI "
+                             "during validation (the reference's dormant "
+                             "do_object_metric path, train_util_dam.py:589; "
+                             "slow — per-image greedy matching on host)")
     ns, rest = parser.parse_known_args(argv)
     cfg = C.parse_args(rest, is_train=True)
 
@@ -155,7 +160,8 @@ def main(argv=None):
 
     state = replicate(state, mesh)
     train_step = make_train_step(model, cfg, opt, ns.max_instances)
-    eval_step = make_eval_step(model, cfg, ns.max_instances)
+    eval_step = make_eval_step(model, cfg, ns.max_instances,
+                               return_pred=ns.do_object_metric)
     stopper = EarlyStopping(patience=cfg.train.early_stop)
 
     best_iou = 0.0
@@ -181,12 +187,37 @@ def main(argv=None):
         # validation=0 default: val metrics = train metrics (train.py:379-387)
         if cfg.train.validation:
             vmeter = AverageMeter(len(metric_keys))
+            obj_meter = AverageMeter(7)
             for batch in batches_of(dataset, cfg.train.batch_size, data_rng,
                                      native_crop=native_crop):
-                vm = eval_step(state, shard_batch(batch, mesh))
+                if ns.do_object_metric:
+                    vm, pred, mask3c = eval_step(state, shard_batch(batch, mesh))
+                    # reference do_object_metric (train_util_dam.py:589-605):
+                    # fill holes, remove-small, CC-label, disk(radius) dilate,
+                    # then greedy object matching vs the inside-class target
+                    from cdnet_tpu.metrics.objects import \
+                        nuclei_accuracy_object_level
+                    from cdnet_tpu.ops.postproc import instances_from_pred
+                    labeled = jax.vmap(
+                        lambda p: instances_from_pred(
+                            p, cfg.post.min_area, cfg.post.radius,
+                            use_watershed=False)[0])(pred.astype(jnp.int32))
+                    for lab, m3 in zip(np.asarray(labeled), np.asarray(mask3c)):
+                        obj_meter.update(list(
+                            nuclei_accuracy_object_level(lab, m3 == 1)))
+                else:
+                    vm = eval_step(state, shard_batch(batch, mesh))
                 vmeter.update([float(vm[k]) for k in metric_keys],
                               batch["image"].shape[0])
             val_avg = dict(zip(metric_keys, vmeter.avg))
+            if ns.do_object_metric:
+                val_avg.update(zip(
+                    ["obj_recall", "obj_precision", "obj_F1", "obj_dice",
+                     "obj_iou", "obj_haus", "obj_AJI"], obj_meter.avg))
+                logger.info("\t=> Val obj: " + "  ".join(
+                    f"{k}={val_avg[k]:.4f}" for k in
+                    ["obj_recall", "obj_precision", "obj_F1", "obj_dice",
+                     "obj_iou", "obj_haus", "obj_AJI"]))
         else:
             val_avg = train_avg
 
