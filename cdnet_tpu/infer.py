@@ -232,6 +232,10 @@ def main(argv=None):
                         help="shard the TTA/tile batch over all devices")
     parser.add_argument("--no-hausdorff", action="store_true",
                         help="skip the (slow, host-side) Hausdorff metric")
+    parser.add_argument("--reference-checkpoint", type=str, default="",
+                        help="migrate a reference-trained .pth.tar "
+                             "(checkpoint_best.pth.tar from the original "
+                             "CDNet repo) into this model and evaluate it")
     ns, rest = parser.parse_known_args(argv)
     cfg = C.parse_args(rest, is_train=False)
 
@@ -240,7 +244,12 @@ def main(argv=None):
     sample = jnp.zeros((1, cfg.test.patch_size, cfg.test.patch_size,
                         cfg.model.in_c), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), sample, train=False)
-    if os.path.exists(cfg.test.model_path + ".msgpack") or \
+    if ns.reference_checkpoint:
+        from cdnet_tpu.models.weights import import_reference_checkpoint
+        variables = import_reference_checkpoint(ns.reference_checkpoint,
+                                                variables)
+        print(f"migrated reference checkpoint {ns.reference_checkpoint}")
+    elif os.path.exists(cfg.test.model_path + ".msgpack") or \
             os.path.exists(cfg.test.model_path):
         state, _ = load_checkpoint(cfg.test.model_path, {
             "params": jax.device_get(variables["params"]),

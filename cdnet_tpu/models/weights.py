@@ -19,12 +19,22 @@ from cdnet_tpu.models.vgg_unet import _VGG16_BLOCKS
 
 
 def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
-    """Read a .pth state dict into numpy (torch stays host-side)."""
+    """Read a .pth/.pth.tar state dict into numpy (torch stays host-side).
+
+    Handles the reference's checkpoint container ``{'epoch', 'state_dict',
+    'best_iou', 'optimizer'}`` (train.py:461-467) and strips the
+    ``nn.DataParallel`` ``module.`` key prefix (train.py:185)."""
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    return {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    out = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    if any(k.startswith("module.") for k in out):
+        out = {k[len("module."):] if k.startswith("module.") else k: v
+               for k, v in out.items()}
+    return out
 
 
 def _conv(sd, key):
@@ -92,6 +102,105 @@ def import_resnet(state_dict: dict[str, np.ndarray], variant: str = "resnet50"):
             params[name] = bp
             stats[name] = bs
     return params, stats
+
+
+def _conv_bias(sd, key):
+    p = {"kernel": _conv(sd, key)}
+    if f"{key}.bias" in sd:
+        p["bias"] = sd[f"{key}.bias"]
+    return p
+
+
+def _conv_transpose(sd, key):
+    """torch ConvTranspose2d(k=4, s=2, p=1) weight (in, out, kh, kw) ->
+    flax ConvTranspose(padding="SAME") kernel (kh, kw, in, out).
+
+    The exact equivalence (verified to 3e-14 in f64): spatial transpose THEN a
+    180-degree spatial flip — flax's ConvTranspose is a fractionally-strided
+    convolution with the kernel as given, torch's is the conv gradient."""
+    w = np.transpose(sd[f"{key}.weight"], (2, 3, 0, 1))[::-1, ::-1]
+    p = {"kernel": np.ascontiguousarray(w)}
+    if f"{key}.bias" in sd:
+        p["bias"] = sd[f"{key}.bias"]
+    return p
+
+
+def _residual_unit(sd, t):
+    """Reference ResidualUnit (model_unet_rev1.py:150-170) -> our
+    :class:`cdnet_tpu.models.layers.ResidualUnit` subtree (Conv_0 is the 1x1
+    shortcut — created first in __call__ — then ConvBN_0/ConvBN_1)."""
+    c0p, c0s = _convbn(sd, f"{t}.conv1", f"{t}.bn1")
+    c1p, c1s = _convbn(sd, f"{t}.conv2", f"{t}.bn2")
+    return ({"Conv_0": _conv_bias(sd, f"{t}.conv_1x1"),
+             "ConvBN_0": c0p, "ConvBN_1": c1p},
+            {"ConvBN_0": c0s, "ConvBN_1": c1s})
+
+
+def import_unet_vgg16_full(sd: dict[str, np.ndarray]):
+    """FULL reference VGG16-UNet(+DAM) state dict -> (params, batch_stats)
+    for :class:`cdnet_tpu.models.vgg_unet.UNetVGG16`.
+
+    This is the checkpoint-migration path: a user of the reference can load a
+    trained `checkpoint_best.pth.tar` (train.py:461-467; module layout
+    `models/dam/model_unet_rev1.py:180-231` and the MandD* variants) straight
+    into this framework. Maps backbone convs, the five parametric
+    UpsampleBlocks (transposed conv + bn1 + conv2/bn2), and every DAM-head
+    module present in the dict (mask/direction/point features, revAttention
+    gates, head convs) or the plain model's `final_conv`. The reference's
+    unused grayscale stems (`child0`/`child_conv1`, model_unet_rev1.py:
+    220-221) and the DAM models' dead `final_conv` are ignored.
+    """
+    params: dict = {}
+    stats: dict = {}
+    params["backbone"], stats["backbone"] = import_vgg16_bn(
+        sd, prefix="backbone.")
+    for i in range(5):
+        t = f"upsample_blocks.{i}"
+        bn1_p, bn1_s = _bn(sd, f"{t}.bn1")
+        cb_p, cb_s = _convbn(sd, f"{t}.conv2", f"{t}.bn2")
+        params[f"UpsampleBlock_{i}"] = {
+            "ConvTranspose_0": _conv_transpose(sd, f"{t}.up"),
+            "BatchNorm_0": bn1_p, "ConvBN_0": cb_p}
+        stats[f"UpsampleBlock_{i}"] = {"BatchNorm_0": bn1_s, "ConvBN_0": cb_s}
+
+    has_dam = "mask_conv.weight" in sd
+    if not has_dam:
+        params["final_conv"] = _conv_bias(sd, "final_conv")
+        return params, stats
+
+    dam_p: dict = {}
+    dam_s: dict = {}
+    for feat in ("mask_feature", "direction_feature", "point_feature"):
+        if f"{feat}.conv1.weight" in sd:
+            dam_p[feat], dam_s[feat] = _residual_unit(sd, feat)
+    for conv in ("point_conv", "direction_conv", "mask_conv"):
+        if f"{conv}.weight" in sd:
+            dam_p[conv] = _conv_bias(sd, conv)
+    for att in ("directionAtt", "maskAtt"):
+        if f"{att}.Conv1x1.weight" in sd:
+            dam_p[att] = {"Conv_0": {"kernel": _conv(sd, f"{att}.Conv1x1")}}
+    params["dam"] = dam_p
+    stats["dam"] = dam_s
+    return params, stats
+
+
+def import_reference_checkpoint(path_or_sd, variables: dict) -> dict:
+    """Migrate a trained reference checkpoint into ``variables``.
+
+    ``path_or_sd``: a .pth/.pth.tar path or an already-loaded numpy state
+    dict. Returns new ``{"params", "batch_stats"}`` shape-checked leaf-by-leaf
+    against the initialized tree. Currently covers the VGG16-UNet family
+    (UNet_vgg16, UNet2RevA1_vgg16 — the flagship — and the MandD* variants);
+    the torch module layout is detected from the keys."""
+    sd = (load_torch_state_dict(path_or_sd) if isinstance(path_or_sd, str)
+          else path_or_sd)
+    if "backbone.0.weight" not in sd:
+        raise ValueError(
+            "unrecognized reference checkpoint layout (expected the VGG16 "
+            f"backbone at 'backbone.0.weight'); keys: {sorted(sd)[:5]}...")
+    params, stats = import_unet_vgg16_full(sd)
+    out = graft_backbone(variables, params, stats, backbone_name=None)
+    return out
 
 
 def apply_pretrained(cfg, variables: dict) -> dict:

@@ -86,10 +86,17 @@ def batches_of(dataset, batch_size: int, rng: np.random.RandomState,
                "instance": np.stack(insts)}
 
 
-def init_state(cfg, model, sample_image, opt, rng_seed: int = 0) -> TrainState:
+def init_state(cfg, model, sample_image, opt, rng_seed: int = 0,
+               reference_checkpoint: str = "") -> TrainState:
     variables = model.init(jax.random.PRNGKey(rng_seed), sample_image[:1],
                            train=False)
-    if cfg.model.pretrained and cfg.model.pretrained_path:
+    if reference_checkpoint:
+        from cdnet_tpu.models.weights import import_reference_checkpoint
+        variables = import_reference_checkpoint(
+            reference_checkpoint,
+            jax.tree.map(np.asarray, jax.device_get(variables)))
+        variables = jax.tree.map(jnp.asarray, variables)
+    elif cfg.model.pretrained and cfg.model.pretrained_path:
         from cdnet_tpu.models.weights import apply_pretrained
         variables = apply_pretrained(cfg, variables)
     params = init_params_for(cfg.train.optimizer, variables["params"])
@@ -108,6 +115,9 @@ def main(argv=None):
     parser.add_argument("--native-loader", action="store_true",
                         help="use the C++ fused batch assembler (crop/flip/"
                              "jitter path; bypasses the full transform stack)")
+    parser.add_argument("--reference-checkpoint", type=str, default="",
+                        help="initialize from a reference-trained .pth.tar "
+                             "(full-model migration; fine-tune path)")
     parser.add_argument("--do-object-metric", action="store_true",
                         help="object-level recall/precision/F1/dice/iou/AJI "
                              "during validation (the reference's dormant "
@@ -148,7 +158,10 @@ def main(argv=None):
     first = next(batches_of(dataset, cfg.train.batch_size, data_rng,
                             drop_last=False, native_crop=native_crop))
     state = init_state(cfg, model, jnp.asarray(first["image"]), opt,
-                       cfg.train.seed)
+                       cfg.train.seed,
+                       reference_checkpoint=ns.reference_checkpoint)
+    if ns.reference_checkpoint:
+        logger.info(f"migrated reference checkpoint {ns.reference_checkpoint}")
 
     start_epoch = cfg.train.start_epoch
     if cfg.train.checkpoint:

@@ -209,5 +209,32 @@ def install() -> None:
     _any_attr_module("SimpleITK")
     _any_attr_module("albumentations")
 
+    # torchvision: only models.vgg16_bn(...).features is exercised by the
+    # reference's model_unet_rev1 (get_backbone, model_unet_rev1.py:40-41).
+    # Build the exact torchvision layout (cfg "D" + BN: Sequential indices
+    # 0..43, conv/bn/relu triples + pools) so named_children/state_dict keys
+    # match the real library.
+    def _vgg16_bn(pretrained=False, **_kw):
+        import torch.nn as nn
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers, in_c = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers += [nn.Conv2d(in_c, v, 3, padding=1),
+                           nn.BatchNorm2d(v), nn.ReLU(inplace=True)]
+                in_c = v
+        return types.SimpleNamespace(features=nn.Sequential(*layers))
+
+    tv = _module("torchvision")
+    tv.__path__ = []
+    tv.models = _module("torchvision.models", vgg16_bn=_vgg16_bn)
+    tv.datasets = _any_attr_module("torchvision.datasets")
+    tv.transforms = _any_attr_module("torchvision.transforms")
+    for sub in ("models", "datasets", "transforms"):
+        sys.modules[f"torchvision.{sub}"].__package__ = "torchvision"
+
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
