@@ -25,7 +25,7 @@ from cdnet_tpu.data.dataset import img_loader
 from cdnet_tpu.models import choose_model
 from cdnet_tpu.ops import tta as T
 from cdnet_tpu.ops.ddm import generate_dd_maps_batch
-from cdnet_tpu.ops.postproc import enhance_boundary, instances_from_pred
+from cdnet_tpu.ops.postproc import enhance_boundary_cf, instances_from_pred
 from cdnet_tpu.ops.sliding_window import split_forward
 from cdnet_tpu.utils import AverageMeter, load_checkpoint
 
@@ -49,28 +49,31 @@ def make_model_fn(model, mesh=None):
             batch = jax.lax.with_sharding_constraint(
                 batch, NamedSharding(mesh, P("data", None, None, None)))
         out = model.apply(variables, batch, train=False)
-        prob = jax.nn.softmax(out["mask"], axis=-1)
+        # Epilogue runs CHANNEL-FIRST (C, B, H, W): a (B,H,W,C) f32 map with
+        # C in {1,3,9} is lane-padded C->128 on TPU (up to 42x physical
+        # bytes), and the softmax/scale/argmax chain over such maps measured
+        # ~100 ms/run at 8x1024^2. One transpose off the conv output, then
+        # every pass touches dense (H,W)-minor tiles.
+        mask = jnp.moveaxis(out["mask"], -1, 0)
+        prob = jax.nn.softmax(mask, axis=0)          # (3, B, H, W)
         res = {"prob": prob}
         if "point" in out:
-            res["point"] = out["point"]
+            res["point"] = out["point"][..., 0]      # (B, H, W)
         if "direction" in out:
-            dprob = jax.nn.softmax(out["direction"], axis=-1)
+            d = jnp.moveaxis(out["direction"], -1, 0)
+            dprob = jax.nn.softmax(d, axis=0)        # (C, B, H, W)
             # scale class-0 prob by the mask bg prob (test_dam.py:1011-1015)
-            # as one fused elementwise pass (a .at[...,0].multiply update
-            # lowered to a 21ms dynamic-update-slice copy at 1024^2)
-            c = dprob.shape[-1]
-            is_bg = jnp.arange(c) == 0
-            dprob = dprob * jnp.where(is_bg, prob[..., 0:1], 1.0)
-            # argmax as an unrolled select chain: jnp.argmax lowered to an
-            # iota-reduce with a transposed output layout (61 ms/run at
-            # 1024^2); 9 fused selects cost one elementwise pass
-            best = dprob[..., 0]
+            c = dprob.shape[0]
+            # argmax as an unrolled select chain (jnp.argmax lowered to an
+            # iota-reduce with a transposed layout); class 0 enters with its
+            # prob scaled by the mask background prob
+            best = dprob[0] * prob[0]
             idx = jnp.zeros(best.shape, jnp.int32)
             for ci in range(1, c):
-                take = dprob[..., ci] > best
-                best = jnp.where(take, dprob[..., ci], best)
+                take = dprob[ci] > best
+                best = jnp.where(take, dprob[ci], best)
                 idx = jnp.where(take, ci, idx)
-            res["direction_cls"] = idx[..., None].astype(jnp.float32)
+            res["direction_cls"] = idx               # (B, H, W) int32
         return res
     return fn
 
@@ -97,37 +100,45 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
     dc = cfg.model.direction_classes
 
     def forward_views(v_vars, views):
-        # tile each view if needed, else single batched forward
+        # tile each view if needed, else single batched forward; all outputs
+        # carry the view axis at -3 and spatial dims last (channel-first for
+        # prob — see make_model_fn layout note)
         if whole:
             return model_fn(v_vars, views)
         outs = [split_forward(lambda b: model_fn(v_vars, b), v, patch, overlap)
                 for v in views]
-        return {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
+        return {k: jnp.stack([o[k] for o in outs], axis=-3) for k in outs[0]}
 
     @jax.jit
     def _pipeline(v_vars, image):
-        h, w = image.shape[0], image.shape[1]
         views = T.expand(image) if use_tta else image[None]
         out = forward_views(v_vars, views)
-        prob_v = T.invert(out["prob"]) if use_tta else out["prob"]
-        prob = jnp.mean(prob_v, axis=0)
-        res = {"prob": prob}
+        prob_v = T.invert_last2(out["prob"]) if use_tta else out["prob"]
+        prob = jnp.mean(prob_v, axis=-3)               # (3, H, W)
+        res = {}
         if "point" in out:
-            pt_v = T.invert(out["point"]) if use_tta else out["point"]
-            point = jnp.mean(pt_v, axis=0)[..., 0]
+            pt_v = T.invert_last2(out["point"]) if use_tta else out["point"]
+            point = jnp.mean(pt_v, axis=-3)            # (H, W)
             res["point"] = point
         if "direction_cls" in out:
-            d_v = (T.invert(out["direction_cls"]) if use_tta
-                   else out["direction_cls"])[..., 0].astype(jnp.int32)
+            d_v = (T.invert_last2(out["direction_cls"]) if use_tta
+                   else out["direction_cls"]).astype(jnp.int32)
             # dcm_combined=1: DDM per TTA view, then mean (test_dam.py:478-490)
             ddms = generate_dd_maps_batch(d_v, dc)
             ddm = jnp.mean(ddms, axis=0)
             res["ddm"] = ddm
             res["direction_cls"] = d_v[0]
             if "point" in out:
-                prob = enhance_boundary(prob, point, ddm)
-                res["prob_enhanced"] = prob
-        pred = jnp.argmax(prob, axis=-1).astype(jnp.int32)
+                res["prob"] = jnp.moveaxis(prob, 0, -1)
+                prob = enhance_boundary_cf(prob, point, ddm)
+                res["prob_enhanced"] = jnp.moveaxis(prob, 0, -1)
+        # argmax over the 3 classes as two fused selects
+        best, pred = prob[0], jnp.zeros(prob.shape[1:], jnp.int32)
+        for ci in range(1, prob.shape[0]):
+            take = prob[ci] > best
+            best = jnp.where(take, prob[ci], best)
+            pred = jnp.where(take, ci, pred)
+        res.setdefault("prob", jnp.moveaxis(prob, 0, -1))
         res["pred"] = pred
         labels, pred2 = instances_from_pred(
             pred, min_area=cfg.post.min_area, radius=cfg.post.radius,

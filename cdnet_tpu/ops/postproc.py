@@ -42,6 +42,17 @@ def enhance_boundary(prob_maps: jnp.ndarray, point_map: jnp.ndarray,
     return prob_maps.at[..., 2].set(enhanced)
 
 
+def enhance_boundary_cf(prob_maps: jnp.ndarray, point_map: jnp.ndarray,
+                        ddm: jnp.ndarray) -> jnp.ndarray:
+    """:func:`enhance_boundary` on channel-FIRST probs (3, H, W) — identical
+    numerics, TPU-friendly layout (H,W stay in the tiled minor dims)."""
+    inside3 = (point_map / jnp.maximum(jnp.max(point_map), 1e-7)) > 0.2
+    inside3 = dilation(inside3, 1)
+    eb = 2.0 * (ddm - ddm * inside3)
+    enhanced = (prob_maps[2] + 0.5 * eb) * (1.0 + eb)
+    return prob_maps.at[2].set(enhanced)
+
+
 @functools.partial(jax.jit, static_argnames=("min_area", "radius", "use_watershed",
                                               "ws_min_size"))
 def instances_from_pred(pred: jnp.ndarray, min_area: int = 20, radius: int = 2,

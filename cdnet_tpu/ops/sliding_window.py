@@ -39,15 +39,18 @@ def split_forward(apply_fn: Callable, image: jnp.ndarray, size: int,
                   overlap: int) -> dict:
     """Tiled forward over one (H, W, C) image.
 
-    ``apply_fn``: (T, size, size, C) -> dict of (T, size, size, C') outputs
-    (jit/pjit-compiled by the caller; the tile batch is the natural axis to
-    shard over the mesh). Returns dict of (H, W, C') stitched outputs.
+    ``apply_fn``: (T, size, size, C) -> dict of outputs with the tile axis at
+    -3 and SPATIAL DIMS LAST — (T, size, size) or (C', T, size, size).
+    Small-channel maps keep (H, W) in the TPU-tiled minor dims this way (a
+    channels-last (T,s,s,C') f32 map is lane-padded C'->128). The tile batch
+    is the natural axis to shard over the mesh. Returns dict of stitched
+    outputs, (H, W) or (C', H, W).
     """
     h, w, c = image.shape
     if h <= size and w <= size:
         # whole-image path (all_img_test=1, test_dam.py:940-949)
         out = apply_fn(image[None])
-        return {k: v[0] for k, v in out.items()}
+        return {k: jnp.squeeze(v, axis=-3) for k, v in out.items()}
 
     hp, wp, rows, cols = plan_tiles(h, w, size, overlap)
     padded = jnp.pad(image, ((0, hp - h), (0, wp - w), (0, 0)))
@@ -62,7 +65,9 @@ def split_forward(apply_fn: Callable, image: jnp.ndarray, size: int,
     stitched = {}
     half = overlap // 2
     for key, val in outs.items():
-        canvas = jnp.zeros((hp, wp, val.shape[-1]), val.dtype)
+        lead = val.shape[:-3]
+        zeros = (0,) * len(lead)
+        canvas = jnp.zeros(lead + (hp, wp), val.dtype)
         t = 0
         for i in rows:
             for j in cols:
@@ -71,8 +76,10 @@ def split_forward(apply_fn: Callable, image: jnp.ndarray, size: int,
                 j0 = j + half if j > 0 else 0
                 j1 = j + size - half if j + size < wp else wp
                 patch = jax.lax.dynamic_slice(
-                    val[t], (i0 - i, j0 - j, 0), (i1 - i0, j1 - j0, val.shape[-1]))
-                canvas = jax.lax.dynamic_update_slice(canvas, patch, (i0, j0, 0))
+                    val[..., t, :, :], zeros + (i0 - i, j0 - j),
+                    lead + (i1 - i0, j1 - j0))
+                canvas = jax.lax.dynamic_update_slice(canvas, patch,
+                                                      zeros + (i0, j0))
                 t += 1
-        stitched[key] = canvas[:h, :w]
+        stitched[key] = canvas[..., :h, :w]
     return stitched

@@ -110,6 +110,20 @@ def invert(outputs_8hwc: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def invert_last2(x: jnp.ndarray) -> jnp.ndarray:
+    """:func:`invert` for (..., 8, H, W) tensors — the view axis at -3 and
+    spatial dims LAST, the TPU-friendly layout for small-channel maps (a
+    (8,H,W,C) tensor with C in {1,3,9} is lane-padded C->128 on TPU; keeping
+    H,W minor avoids up to 42x physical inflation on every elementwise op)."""
+    fw = jnp.asarray(np.asarray(_FLIP_W).reshape(8, 1, 1))
+    fh = jnp.asarray(np.asarray(_FLIP_H).reshape(8, 1, 1))
+    rot = jnp.asarray(np.asarray(_ROT).reshape(8, 1, 1))
+    x = jnp.where(fw, jnp.flip(x, axis=-1), x)
+    x = jnp.where(fh, jnp.flip(x, axis=-2), x)
+    x = jnp.where(rot, jnp.rot90(x, k=3, axes=(-2, -1)), x)
+    return x
+
+
 #  DcmVoting (utils.py:1112-1139): numberListAll[i][j-1] = source class in
 #  view i that becomes class j in the identity frame (class 0 passes through)
 _NUMBER_LIST_ALL = jnp.asarray([

@@ -50,21 +50,54 @@ def watershed(dist: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
     key = jnp.where(is_marker, (dist << _LABEL_BITS) | markers, 0)
     grow = mask & ~is_marker
 
+    # Per-pixel transmission capacity for the line scans: a path continuing
+    # THROUGH a pixel is capped by its dist; marker and non-mask pixels block
+    # transmission (markers emit their own key but a foreign flood cannot pass
+    # over an already-labeled seed — skimage pre-labels marker pixels).
+    _BLOCK = jnp.int32(-(2 ** 30))
+    cap_m = jnp.where(grow, dist, _BLOCK)
+
+    def _cap(b, m):
+        # cap a key's bottleneck value by capacity m (clamped so the packed
+        # int32 can't overflow; any capped-negative key loses every max)
+        val = jnp.maximum(jnp.minimum(b >> _LABEL_BITS, m), -1)
+        return (val << _LABEL_BITS) | (b & _LABEL_MASK)
+
+    def _line_op(a, b):
+        """Associative bottleneck-path propagation along a line segment.
+
+        State (best, m): ``best`` = strongest key emitted at the segment's
+        right end, ``m`` = min transmission capacity across the segment."""
+        ab, am = a
+        bb, bm = b
+        return jnp.maximum(bb, _cap(ab, bm)), jnp.minimum(am, bm)
+
+    def _scan_axis(k, axis):
+        fwd, _ = jax.lax.associative_scan((_line_op), (k, cap_m), axis=axis)
+        bwd, _ = jax.lax.associative_scan((_line_op), (k, cap_m), axis=axis,
+                                          reverse=True)
+        return jnp.maximum(fwd, bwd)
+
     def cond(state):
         _, changed = state
         return changed
 
     def body(state):
         k, _ = state
-        best = k
-        for _, view in shifted_views(k, _OFFS_4, 0):
+        # long-range: segmented bottleneck scans along rows then columns
+        # (valid path keys only -> sound accelerator; the unique supremum
+        # fixpoint is unchanged, convergence drops from O(diameter) sweeps
+        # to a handful)
+        best = jnp.maximum(_scan_axis(k, 1), _scan_axis(k, 0))
+        # local: 4-neighbor relaxation stitches rows and columns together
+        for _, view in shifted_views(best, _OFFS_4, 0):
             # neighbor's bottleneck value capped by my own dist, keeping the
             # neighbor's label; unlabeled neighbors (label 0) contribute 0
             val = jnp.minimum(view >> _LABEL_BITS, dist)
             cand = (val << _LABEL_BITS) | (view & _LABEL_MASK)
             best = jnp.maximum(best, jnp.where((view & _LABEL_MASK) > 0,
                                                cand, 0))
-        new = jnp.where(grow, best, k)
+        new = jnp.where(grow, jnp.maximum(k, best), k)
         return new, jnp.any(new != k)
 
     key, _ = jax.lax.while_loop(cond, body, (key, jnp.array(True)))

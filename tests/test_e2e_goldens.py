@@ -32,17 +32,19 @@ class TestStitchingGolden:
         variables = model.init(jax.random.PRNGKey(0), img[None], train=False)
 
         def apply_fn(batch):
-            return {"mask": model.apply(variables, batch, train=False)["mask"]}
+            # split_forward contract: tile axis at -3, spatial dims last
+            return {"mask": jnp.moveaxis(
+                model.apply(variables, batch, train=False)["mask"], -1, 0)}
 
-        whole = np.asarray(apply_fn(img[None])["mask"][0])
+        whole = np.asarray(apply_fn(img[None])["mask"][:, 0])
         tiled = np.asarray(split_forward(apply_fn, jnp.asarray(img),
                                          size=64, overlap=32)["mask"])
         assert tiled.shape == whole.shape
         # borders of each tile differ (receptive field cut); compare the
         # stitched interior, margin > receptive field of the tiny FullNet
         m = 20
-        np.testing.assert_allclose(tiled[m:-m, m:-m], whole[m:-m, m:-m],
-                                   atol=2e-4)
+        np.testing.assert_allclose(tiled[..., m:-m, m:-m],
+                                   whole[..., m:-m, m:-m], atol=2e-4)
 
     def test_fixed_seed_forward_deterministic(self):
         cfg = tiny_cfg("UNet")

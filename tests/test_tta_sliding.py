@@ -36,14 +36,16 @@ class TestTTA:
 
 class TestSlidingWindow:
     def test_stitch_equals_full_for_linear_fn(self, rng):
-        # a pixel-local fn must produce identical stitched vs whole output
+        # a pixel-local fn must produce identical stitched vs whole output;
+        # apply_fn contract: tile axis at -3, spatial dims last
         img = rng.rand(100, 80, 3).astype(np.float32)
 
         def apply_fn(batch):
-            return {"mask": batch * 2.0 + 1.0}
+            return {"mask": np.moveaxis(batch * 2.0 + 1.0, -1, 0)}
 
         out = SW.split_forward(apply_fn, img, size=64, overlap=16)
-        np.testing.assert_allclose(np.asarray(out["mask"]), img * 2 + 1, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["mask"]),
+                                   np.moveaxis(img * 2 + 1, -1, 0), atol=1e-6)
 
     def test_whole_image_path(self, rng):
         img = rng.rand(32, 32, 3).astype(np.float32)
@@ -51,10 +53,16 @@ class TestSlidingWindow:
 
         def apply_fn(batch):
             called["shape"] = batch.shape
-            return {"m": batch}
+            return {"m": batch[..., 0]}
 
         SW.split_forward(apply_fn, img, size=64, overlap=16)
         assert called["shape"] == (1, 32, 32, 3)
+
+    def test_invert_last2_matches_invert(self, rng):
+        maps = rng.rand(8, 12, 12, 3).astype(np.float32)
+        a = np.asarray(tta.invert(maps))
+        b = np.asarray(tta.invert_last2(np.moveaxis(maps, -1, 0)))
+        np.testing.assert_allclose(np.moveaxis(b, 0, -1), a, atol=0)
 
     def test_plan_matches_reference_padding(self):
         # reference: pad = (size-overlap) - (h-size) % (size-overlap)
