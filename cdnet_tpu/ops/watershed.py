@@ -73,8 +73,17 @@ def watershed(dist: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
         return jnp.maximum(bb, _cap(ab, bm)), jnp.minimum(am, bm)
 
     def _scan_axis(k, axis):
-        fwd, _ = jax.lax.associative_scan((_line_op), (k, cap_m), axis=axis)
-        bwd, _ = jax.lax.associative_scan((_line_op), (k, cap_m), axis=axis,
+        # non-minor axes transpose minor-first (TPU scans along a non-minor
+        # axis pay per-stage relayouts; see connected._segmented_min_scan)
+        if axis != k.ndim - 1:
+            cm = jnp.swapaxes(cap_m, axis, -1)
+            kt = jnp.swapaxes(k, axis, -1)
+            fwd, _ = jax.lax.associative_scan(_line_op, (kt, cm), axis=kt.ndim - 1)
+            bwd, _ = jax.lax.associative_scan(_line_op, (kt, cm),
+                                              axis=kt.ndim - 1, reverse=True)
+            return jnp.swapaxes(jnp.maximum(fwd, bwd), axis, -1)
+        fwd, _ = jax.lax.associative_scan(_line_op, (k, cap_m), axis=axis)
+        bwd, _ = jax.lax.associative_scan(_line_op, (k, cap_m), axis=axis,
                                           reverse=True)
         return jnp.maximum(fwd, bwd)
 
