@@ -176,6 +176,30 @@ def main():
     ws_pipeline = build_pipeline(model, variables, cfg, (size, size))
     ws_pip, ws_ser, _ = time_pipeline(ws_pipeline, img, "watershed")
 
+    # whole-slide throughput mode: 2 tiles per dispatch (amortizes the host
+    # round-trip and fills device gaps); falls back gracefully if the 2-tile
+    # TTA batch does not fit HBM
+    batch2 = 0.0
+    try:
+        cfg.post.postproc = 0
+        bpipe = build_pipeline(model, variables, cfg, (size, size),
+                               batch_tiles=2)
+        img2 = jnp.stack([img, img])
+        t0 = time.time()
+        n = int(jax.device_get(jnp.max(bpipe(img2)["instances"])))
+        print(f"[batch2] compile+first: {time.time() - t0:.1f}s "
+              f"instances={n}", file=sys.stderr)
+        assert n > 0
+        iters = 6
+        t0 = time.time()
+        maxes = [jnp.max(bpipe(img2)["instances"]) for _ in range(iters)]
+        counts = [int(jax.device_get(m)) for m in maxes]
+        batch2 = 2 * iters / (time.time() - t0)
+        assert all(c > 0 for c in counts)
+        print(f"[batch2] pipelined={batch2:.3f} tiles/s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - OOM/compile fallback is reported
+        print(f"[batch2] skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "cdnet_e2e_infer_1000px_tta8_ddm_postproc",
         "value": round(cc_pip, 4),
@@ -185,6 +209,7 @@ def main():
         "cc_serialized_tiles_per_sec": round(cc_ser, 4),
         "watershed_tiles_per_sec": round(ws_pip, 4),
         "watershed_serialized_tiles_per_sec": round(ws_ser, 4),
+        "cc_batch2_tiles_per_sec": round(batch2, 4),
         "instances": n_inst,
     }))
 

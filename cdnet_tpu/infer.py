@@ -79,11 +79,20 @@ def make_model_fn(model, mesh=None):
 
 
 def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
-                   mesh=None):
+                   mesh=None, batch_tiles: int = 1):
     """Whole-image jit pipeline: (H,W,3) float image -> result dict.
 
     ``mesh``: optional jax.sharding.Mesh — shards the TTA/tile batch axis
-    across devices (tile-parallel inference; BASELINE v5e-8 target)."""
+    across devices (tile-parallel inference; BASELINE v5e-8 target).
+    ``batch_tiles`` > 1 returns a pipeline over an (N,H,W,3) stack of
+    independent tiles -> result dict with a leading N axis on every entry
+    (whole-slide throughput mode: one dispatch + one fetch per N tiles
+    amortizes the ~35 ms host round-trip and fills device gaps). The batched
+    program is a different XLA compilation than the single-tile one, so conv
+    roundings differ at bf16/MXU precision — decision-boundary pixels (and
+    with a weakly trained model, instance counts) can differ between modes;
+    on CPU (true f32 convs) both modes match exactly
+    (tests/test_e2e_goldens.py::test_batched_tiles_equal_single)."""
     # pin the variables on device ONCE: callers typically hold numpy trees
     # (checkpoint restore), and passing those to jit re-uploads the full
     # parameter set every call (measured 1.0s/call for the 82MB flagship
@@ -109,8 +118,7 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
                 for v in views]
         return {k: jnp.stack([o[k] for o in outs], axis=-3) for k in outs[0]}
 
-    @jax.jit
-    def _pipeline(v_vars, image):
+    def _body(v_vars, image):
         views = T.expand(image) if use_tta else image[None]
         out = forward_views(v_vars, views)
         prob_v = T.invert_last2(out["prob"]) if use_tta else out["prob"]
@@ -146,6 +154,11 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
         res["instances"] = labels
         res["pred2"] = pred2
         return res
+
+    if batch_tiles > 1:
+        _pipeline = jax.jit(jax.vmap(_body, in_axes=(None, 0)))
+    else:
+        _pipeline = jax.jit(_body)
 
     def pipeline(image):
         return _pipeline(variables, image)

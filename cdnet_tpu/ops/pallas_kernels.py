@@ -139,8 +139,29 @@ _ROW_BLOCK = 256
 def generate_dd_maps_pallas(label_direction: jnp.ndarray,
                             direction_classes: int = 9) -> jnp.ndarray:
     """(V, H, W) int direction-class maps -> (V, H, W) DDMs, fused in VMEM.
-    Requires the 8-direction class layout (the CDNet default)."""
+    Requires the 8-direction class layout (the CDNet default). vmap-safe:
+    extra batch dims fold into the view axis (each map's DDM+normalization is
+    independent), so the batched-tiles inference pipeline can vmap over it."""
     assert direction_classes - 1 == 8, "pallas kernel covers the 8-dir layout"
+    return _ddm_pallas_9(label_direction.astype(jnp.int32))
+
+
+@jax.custom_batching.custom_vmap
+def _ddm_pallas_9(label_direction: jnp.ndarray) -> jnp.ndarray:
+    return _ddm_pallas_impl(label_direction)
+
+
+@_ddm_pallas_9.def_vmap
+def _ddm_pallas_9_vmap(axis_size, in_batched, lab):
+    if not in_batched[0]:
+        return _ddm_pallas_9(lab), False
+    n = lab.shape[0]
+    flat = _ddm_pallas_9(lab.reshape((-1,) + lab.shape[2:]))
+    return flat.reshape((n, -1) + flat.shape[1:]), True
+
+
+def _ddm_pallas_impl(label_direction: jnp.ndarray) -> jnp.ndarray:
+    direction_classes = 9
     v, h, w = label_direction.shape
     if h * w <= _VMEM_SAFE_PIXELS:
         return pl.pallas_call(

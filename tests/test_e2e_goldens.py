@@ -76,6 +76,27 @@ class TestInferPipeline:
         assert float(jnp.min(res["prob_enhanced"][..., 2]
                              - res["prob"][..., 2])) >= -1e-6 or True
 
+    def test_batched_tiles_equal_single(self, rng):
+        # batch_tiles=N (whole-slide throughput mode) must reproduce the
+        # single-tile pipeline exactly, per tile
+        from cdnet_tpu.infer import build_pipeline
+        cfg = tiny_cfg("UNet2RevA1_vgg16")
+        cfg.test.tta = True
+        model = choose_model(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+        imgs = jnp.asarray(rng.rand(2, 64, 64, 3), np.float32)
+        single = build_pipeline(model, variables, cfg, (64, 64))
+        batched = build_pipeline(model, variables, cfg, (64, 64),
+                                 batch_tiles=2)
+        rb = batched(imgs)
+        for i in range(2):
+            rs = single(imgs[i])
+            for k in ("pred", "instances", "ddm", "point"):
+                np.testing.assert_allclose(np.asarray(rb[k][i]),
+                                           np.asarray(rs[k]), atol=1e-5,
+                                           err_msg=k)
+
     def test_no_tta_no_direction_model(self, rng):
         from cdnet_tpu.infer import build_pipeline
         cfg = tiny_cfg("UNet")
