@@ -337,6 +337,22 @@ def main(argv=None):
             save_artifacts(cfg.test.save_dir, name, res)
         if lbl_path:
             is_xml = lbl_path.endswith(".xml")
+            # groundtruth=1 (reference test_dam.py:600-604): object metrics
+            # from the XML annotation. If the paired label isn't the XML
+            # itself, look it up next to the labels / in annotation_dir —
+            # never feed a .npy/.mat path to the XML parser.
+            ann_path = lbl_path if is_xml else None
+            if cfg.test.groundtruth == 1 and not is_xml:
+                stem = os.path.splitext(os.path.basename(lbl_path))[0]
+                for d in (cfg.test.annotation_dir,
+                          os.path.dirname(lbl_path)):
+                    cand = os.path.join(d, stem + ".xml") if d else ""
+                    if cand and os.path.exists(cand):
+                        ann_path = cand
+                        break
+                if ann_path is None:
+                    print(f"WARNING: groundtruth=1 but no {stem}.xml found; "
+                          f"using the instance label file for object metrics")
             if is_xml:
                 from cdnet_tpu.metrics.objects import read_annotation_xml
                 gt = read_annotation_xml(lbl_path, img.shape[:2])
@@ -351,9 +367,7 @@ def main(argv=None):
                 count_pred.append(float(np.sum(np.asarray(res["point"])) / 255.0))
                 count_real.append(len(np.unique(gt)))
             m = evaluate_instances(
-                pred_inst, gt,
-                annotation_path=lbl_path if (is_xml or
-                                             cfg.test.groundtruth == 1) else None,
+                pred_inst, gt, annotation_path=ann_path,
                 compute_hausdorff=not ns.no_hausdorff)
             # sklearn 'samples' jaccard on the BINARY maps (test_dam.py:583)
             from cdnet_tpu.metrics.pixel import jaccard_samples

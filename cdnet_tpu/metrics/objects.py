@@ -83,7 +83,9 @@ def nuclei_accuracy_object_level(pred: np.ndarray, gt: np.ndarray,
     count = count or 1.0
     dice /= count
     iou /= count
-    haus /= count
+    # NaN (not a fake-perfect 0.0) when the metric was skipped, so logExl /
+    # result.txt rows stay distinguishable from a genuine Hausdorff of 0
+    haus = haus / count if compute_hausdorff else float("nan")
     u_sum += pred_sizes[~used].sum()
     aji = c_sum / u_sum if u_sum else 0.0
     return recall, precision, f1, dice, iou, haus, aji
@@ -159,8 +161,6 @@ def gland_accuracy_object_level(pred: np.ndarray, gt: np.ndarray):
 def read_annotation_polygons(path: str) -> list:
     """MoNuSeg Aperio XML -> list of (N,2) float vertex arrays
     (reference utils.py:112-128 `read_annotation`)."""
-    import xml.etree.ElementTree as ET
-
     import math
     import xml.etree.ElementTree as ET
 
@@ -235,29 +235,21 @@ def nuclei_accuracy_annotation_object_level(pred: np.ndarray,
     count = count or 1.0
     u_sum += pred_sizes[1:][alive[1:]].sum()
     aji = c_sum / u_sum if u_sum else 0.0
-    return (recall, precision, f1, dice / count, iou / count, haus / count,
-            aji)
+    haus = haus / count if compute_hausdorff else float("nan")
+    return (recall, precision, f1, dice / count, iou / count, haus, aji)
 
 
 def read_annotation_xml(path: str, shape: tuple[int, int]) -> np.ndarray:
     """MoNuSeg Aperio XML -> instance mask (reference utils.py:112-150).
 
-    Each <Region> polygon becomes one instance id, rasterized by PIL polygon
-    fill (the reference uses cv2 drawContours; identical for simple polygons).
+    Each <Region> polygon becomes one instance id, rasterized EXACTLY like
+    the reference's `to_mask_instance` (floored int vertices +
+    cv2.drawContours FILLED) so every metric in a run — object-level,
+    HoVer-Net, pixel — sees the same GT raster as
+    nuclei_accuracy_annotation_object_level.
     """
-    import xml.etree.ElementTree as ET
-    from PIL import Image, ImageDraw
-
-    tree = ET.parse(path)
-    root = tree.getroot()
-    canvas = Image.new("I", (shape[1], shape[0]), 0)
-    draw = ImageDraw.Draw(canvas)
-    inst = 0
-    for region in root.iter("Region"):
-        pts = [(float(v.attrib["X"]), float(v.attrib["Y"]))
-               for v in region.iter("Vertex")]
-        if len(pts) < 3:
-            continue
-        inst += 1
-        draw.polygon(pts, fill=inst)
-    return np.asarray(canvas, dtype=np.int32)
+    polys = read_annotation_polygons(path)
+    canvas = np.zeros(shape, np.int32)
+    for inst, poly in enumerate(polys, start=1):
+        canvas[_rasterize_polygon(poly, shape)] = inst
+    return canvas

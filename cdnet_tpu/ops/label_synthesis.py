@@ -157,8 +157,7 @@ def direction_and_point(label_instance: jnp.ndarray, inside_mask: jnp.ndarray,
     # without materializing an (H,W,2) vector field.
     angle = jnp.rad2deg(jnp.arctan2(gh, gw))
     angle = jnp.where(inside_mask, angle, 0.0)
-    aligned, _ = geometry.align_angle(angle, num_classes=8)
-    _, dir_cls = geometry.align_angle(aligned, num_classes=8)
+    _, dir_cls = geometry.align_angle(angle, num_classes=8)
     dir_cls = jnp.where(inside_mask, dir_cls + 1, 0).astype(jnp.int32)
 
     # point heatmap: 255 at centers, gaussian sigma=2, reference casts float16

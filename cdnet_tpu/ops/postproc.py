@@ -103,13 +103,34 @@ def _per_instance_dilate_fill(labels: jnp.ndarray, radius: int,
     """Reference loop `for inst_id: dilate; fill_holes; canvas[...]=id`
     (postproc_other.py:60-68, 91-97): each instance is dilated and
     hole-filled INDEPENDENTLY (a cavity between two instances is a hole of
-    neither and stays background), ascending-id overwrite == max-id rule."""
-    ids = jnp.arange(1, max_instances + 1, dtype=jnp.int32)
-    onehot = labels[None] == ids[:, None, None]
-    dil = jax.vmap(
-        lambda m: _diamond_dilation(m.astype(jnp.int32), radius) > 0)(onehot)
-    filled = jax.vmap(binary_fill_holes)(dil)
-    return jnp.max(jnp.where(filled, ids[:, None, None], 0), axis=0)
+    neither and stays background), ascending-id overwrite == max-id rule.
+
+    Vectorized over CHUNKS of ``max_instances`` ids inside a while_loop, so
+    any instance count is handled exactly (no silent cap): the loop runs
+    ceil(n_labels / max_instances) iterations, each a vmapped
+    dilate+fill over one id chunk, combined with the max-id rule."""
+    ids0 = jnp.arange(1, max_instances + 1, dtype=jnp.int32)
+    n_labels = jnp.max(labels)
+
+    def chunk_canvas(start):
+        ids = start + ids0
+        onehot = labels[None] == ids[:, None, None]
+        dil = jax.vmap(
+            lambda m: _diamond_dilation(m.astype(jnp.int32), radius) > 0)(onehot)
+        filled = jax.vmap(binary_fill_holes)(dil)
+        return jnp.max(jnp.where(filled, ids[:, None, None], 0), axis=0)
+
+    def cond(state):
+        start, _ = state
+        return start < n_labels
+
+    def body(state):
+        start, canvas = state
+        return start + max_instances, jnp.maximum(canvas, chunk_canvas(start))
+
+    _, canvas = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros_like(labels)))
+    return canvas
 
 
 @functools.partial(jax.jit, static_argnames=("min_size", "max_instances"))
