@@ -397,14 +397,17 @@ def main(argv=None):
         save_results(REF_HEADER, avg, all_results,
                      os.path.join(log_dir, "auto_saveLog_gpu0.txt"), mode="a+")
         # logExl write-back (test_dam.py:777-925): hyperparam columns + the
-        # full t1_* metric set, named as the reference's 84-column CSV
+        # full t1_*/t2_* metric set, named as the reference's 84-column CSV
+        # (metrics land in the t2_ block when evaluating the second test set,
+        # test_dam.py:778 `opt.test['filename'] != 'test2'`)
         from cdnet_tpu.utils import ExperimentCSV
-        t1 = {f"t1_{k}": round(float(v), 7) for k, v in zip(
+        tp = "t2" if cfg.test.filename == "test2" else "t1"
+        t1 = {f"{tp}_{k}": round(float(v), 7) for k, v in zip(
             ["pixel_acc", "pixel_IoU", "pixel_recall", "pixel_precision",
              "pixel_F1", "recall", "precision", "F1", "Dice", "IoU",
              "Hausdorff", "AJI", "AJI_h", "Dice_h", "Dice2_h", "dq", "sq",
              "pq", "ana_FP", "ana_FN", "P_less", "P_more"], avg)}
-        t1["t1_AJI_sklearn"] = round(aji_sklearn, 7)
+        t1[f"{tp}_AJI_sklearn"] = round(aji_sklearn, 7)
         t1.update({"Model": cfg.model.model_name,
                    "MSEloss": cfg.model.mseloss,
                    "direction": cfg.model.direction,

@@ -131,10 +131,38 @@ def main(argv=None):
     ckpt_dir = os.path.join(cfg.train.save_dir, "checkpoints")
     logger, logger_results = setup_logging(cfg.train.save_dir)
     cfg.to_json(os.path.join(cfg.train.save_dir, "config.json"))
+    # the reference's full hyperparameter column block (train.py:106-173's
+    # 84-column logExl head; metric columns are filled by the test driver)
+    tf = set(cfg.train.trans_train)
     ExperimentCSV(os.path.join("experiments", f"logExl_{cfg.dataset}.csv")).upsert(
-        cfg.exp_filename(), {"dataset": cfg.dataset, "lr": cfg.train.lr,
-                             "optimizer": cfg.train.optimizer,
-                             "epochs": cfg.train.num_epochs})
+        cfg.exp_filename(), {
+            "dataset": cfg.dataset, "Model": cfg.model.model_name,
+            "Epoch": cfg.train.num_epochs, "input_size": cfg.train.input_size,
+            "val_overlap": cfg.train.val_overlap,
+            "batch_size": cfg.train.batch_size,
+            "multi_class": int(cfg.model.multi_class),
+            "add_weightMap": cfg.model.add_weight_map,
+            "alpha": cfg.train.alpha, "dice": cfg.model.dice,
+            "boundary_loss": cfg.model.boundary_loss,
+            "MSEloss": cfg.model.mseloss, "direction": cfg.model.direction,
+            "backbone": cfg.model.backbone,
+            "pretrained": int(cfg.model.pretrained),
+            "LossName": cfg.model.loss_name, "seed": cfg.train.seed,
+            "early_stop": cfg.train.early_stop,
+            "scheduler": cfg.train.scheduler, "step": cfg.train.step,
+            "optimizer": cfg.train.optimizer, "lr": cfg.train.lr,
+            "lr_decay": cfg.train.lr_decay,
+            "validation": cfg.train.validation,
+            "random_resize": int("random_resize" in tf),
+            "random_color": int("random_color" in tf),
+            "random_affine": int("random_affine" in tf),
+            "horizontal_flip": int("horizontal_flip" in tf),
+            "random_elastic": int("random_elastic" in tf),
+            "random_rotation": int("random_rotation" in tf),
+            "random_chooseAug": int("random_choose_aug" in tf),
+            "random_crop": int("random_crop" in tf),
+            "normalize": int("normalize" in tf),
+            "epochs": cfg.train.num_epochs})
 
     logger.info(f"devices: {jax.devices()}")
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axis_names)
