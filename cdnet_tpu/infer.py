@@ -345,7 +345,7 @@ def main(argv=None):
             if cfg.test.groundtruth == 1 and not is_xml:
                 stem = os.path.splitext(os.path.basename(lbl_path))[0]
                 for d in (cfg.test.annotation_dir,
-                          os.path.dirname(lbl_path)):
+                          os.path.dirname(lbl_path) or "."):
                     cand = os.path.join(d, stem + ".xml") if d else ""
                     if cand and os.path.exists(cand):
                         ann_path = cand

@@ -170,6 +170,11 @@ def read_annotation_polygons(path: str) -> list:
         pts = [(math.floor(float(v.attrib["X"])),
                 math.floor(float(v.attrib["Y"])))
                for v in region.iter("Vertex")]
+        if len(pts) < 3:
+            # annotation noise: 0 vertices crashes cv2.drawContours, 1-2
+            # rasterize to a handful of pixels that would count as a full
+            # GT instance
+            continue
         polys.append(np.asarray(pts, np.int32))
     return polys
 

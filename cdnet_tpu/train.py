@@ -159,10 +159,9 @@ def main(argv=None):
             "horizontal_flip": int("horizontal_flip" in tf),
             "random_elastic": int("random_elastic" in tf),
             "random_rotation": int("random_rotation" in tf),
-            "random_chooseAug": int("random_choose_aug" in tf),
+            "random_chooseAug": int("random_chooseAug" in tf),
             "random_crop": int("random_crop" in tf),
-            "normalize": int("normalize" in tf),
-            "epochs": cfg.train.num_epochs})
+            "normalize": int("normalize" in tf)})
 
     logger.info(f"devices: {jax.devices()}")
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axis_names)
