@@ -64,6 +64,10 @@ def pytest_collection_modifyitems(config, items):
             f"re-exec failed")
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same fresh stream, so test data
+    # never depends on execution order or on which other tests ran first
+    # (a shared session RandomState made test_fast_dice2_oracle's masks
+    # depend on how many draws earlier tests consumed)
     return np.random.RandomState(2022)
