@@ -60,7 +60,7 @@ class SyntheticDataset:
         return self.n
 
     def __getitem__(self, i):
-        rng = np.random.RandomState(self.seed * 100003 + i)
+        rng = np.random.RandomState((self.seed * 100003 + i) % (2 ** 32))
         img, inst, wmap = synthetic_tile(rng, self.size)
         sample = (img, wmap, inst)
         if self.data_transform is not None:

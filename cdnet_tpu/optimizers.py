@@ -46,8 +46,8 @@ def make_schedule(cfg, steps_per_epoch: int = 1) -> Callable[[int], float]:
             t_cur = e - step_size * (2.0 ** k - 1.0)
             return 0.5 * base * (1 + jnp.cos(jnp.pi * t_cur / t_i))
         return sched
-    # 'ReduceLROnPlateau' is stateful on val loss; handled by the train driver
-    # via optax.contrib.reduce_on_plateau when selected.
+    # 'ReduceLROnPlateau' is stateful on the per-epoch val loss; handled by
+    # the host-side PlateauTracker + plateau_scale transform below.
     return lambda s: base
 
 
@@ -138,15 +138,76 @@ def get_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformation
         raise ValueError(f"Optimizer {t.optimizer} not available")
 
     if t.scheduler == "ReduceLROnPlateau":
-        # torch ReduceLROnPlateau steps per epoch (utils.py:943-947); optax's
-        # reduce_on_plateau counts opt.update calls, so denominate patience
-        # in steps. The train step feeds the loss via ``opt.update(...,
-        # value=loss)`` — see parallel/train_step.py.
-        opt = optax.chain(opt, optax.contrib.reduce_on_plateau(
-            factor=t.lr_decay, patience=t.step * steps_per_epoch))
+        # torch ReduceLROnPlateau steps ONCE PER EPOCH on the validation loss
+        # (utils.py:951-954, train.py:404-413). The epoch-level decision is
+        # host-side state (PlateauTracker below); the jitted step only sees a
+        # scale factor living in opt_state, which the train driver refreshes
+        # between epochs via set_plateau_scale.
+        opt = optax.chain(opt, plateau_scale())
     # uniform update signature: every optimizer accepts (and plain ones
     # ignore) the ``value=`` kwarg the train step always passes
     return optax.with_extra_args_support(opt)
+
+
+def plateau_scale() -> optax.GradientTransformation:
+    """Multiply updates by a driver-controlled scalar (ReduceLROnPlateau's
+    current lr / base-lr ratio). The scalar is opt_state so it is a traced
+    array — updating it between epochs does not retrigger compilation."""
+
+    def init(params):
+        del params
+        return {"plateau_scale": jnp.ones((), jnp.float32)}
+
+    def update(updates, state, params=None, **_):
+        del params, _
+        scaled = jax.tree.map(lambda u: u * state["plateau_scale"], updates)
+        return scaled, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def set_plateau_scale(opt_state, scale: float):
+    """Return opt_state with every plateau_scale leaf replaced by ``scale``."""
+    def visit(node):
+        if isinstance(node, dict) and "plateau_scale" in node:
+            return {"plateau_scale": jnp.asarray(scale, jnp.float32)}
+        return node
+    return jax.tree.map(visit, opt_state,
+                        is_leaf=lambda n: isinstance(n, dict)
+                        and "plateau_scale" in n)
+
+
+class PlateauTracker:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau('min') host-side semantics
+    (the reference's exact construction: factor=lr_decay, patience=step,
+    threshold=1e-4 rel, cooldown=0, min_lr=0; utils.py:951-954). ``step``
+    takes the per-epoch val loss and returns the cumulative lr scale."""
+
+    def __init__(self, factor: float, patience: int, threshold: float = 1e-4,
+                 eps: float = 1e-8, base_lr: float = 1.0):
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.eps = eps
+        self.base_lr = base_lr
+        self.best = float("inf")
+        self.num_bad = 0
+        self.scale = 1.0
+
+    def step(self, value: float) -> float:
+        if value < self.best * (1.0 - self.threshold):
+            self.best = value
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            # torch skips the update when the lr delta is below eps
+            old = self.base_lr * self.scale
+            new = old * self.factor
+            if old - new > self.eps:
+                self.scale *= self.factor
+            self.num_bad = 0
+        return self.scale
 
 
 def init_params_for(opt_name: str, params):

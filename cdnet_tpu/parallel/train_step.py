@@ -115,8 +115,9 @@ def make_train_step(model, cfg, opt: optax.GradientTransformation,
         grad_params = state.params.fast if is_lookahead else state.params
         (total, (comps, new_bs, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(grad_params, state.batch_stats, batch, targets)
-        # value= feeds ReduceLROnPlateau (optax extra-args); other chains
-        # ignore it (optimizers.py wraps with with_extra_args_support)
+        # value= is accepted (and ignored) by every chain via
+        # with_extra_args_support; ReduceLROnPlateau is epoch-granular and
+        # driven by the host (optimizers.PlateauTracker + plateau_scale)
         updates, new_opt = opt.update(grads, state.opt_state, state.params,
                                       value=total)
         new_params = optax.apply_updates(state.params, updates)
@@ -128,6 +129,51 @@ def make_train_step(model, cfg, opt: optax.GradientTransformation,
                 metrics)
 
     return train_step
+
+
+def make_sliding_eval_step(model, cfg, max_instances: int = 160,
+                           return_pred: bool = False) -> Callable:
+    """Jitted sliding-window validation (reference train.py:216-259 +
+    train_util_dam.validate:469-474): one (1,H,W,C) val image per call,
+    forwarded tile-by-tile with ``input_size``/``val_overlap`` via
+    split_forward (the tile grid is ONE batched forward, not the reference's
+    serial loop), loss + pixel metrics computed on the stitched full-image
+    outputs. Falls through to a whole-image forward when the image fits in
+    one tile (split_forward handles both)."""
+    from cdnet_tpu.ops.sliding_window import split_forward
+    size, overlap = cfg.train.input_size, cfg.train.val_overlap
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: dict):
+        targets = prepare_targets(batch, cfg, max_instances)
+        params = state.params.slow if cfg.train.optimizer.lower() == "ranger" \
+            else state.params
+        variables = {"params": params, "batch_stats": state.batch_stats}
+
+        def apply(tiles):
+            out = model.apply(variables, tiles, train=False)
+            res = {"mask": jnp.moveaxis(out["mask"], -1, 0)}    # (3,T,s,s)
+            if "point" in out:
+                res["point"] = out["point"][..., 0]             # (T,s,s)
+            if "direction" in out:
+                res["direction"] = jnp.moveaxis(out["direction"], -1, 0)
+            return res
+
+        st = split_forward(apply, batch["image"][0], size, overlap)
+        out = {"mask": jnp.moveaxis(st["mask"], 0, -1)[None]}
+        if "point" in st:
+            out["point"] = st["point"][None, ..., None]
+        if "direction" in st:
+            out["direction"] = jnp.moveaxis(st["direction"], 0, -1)[None]
+        _, comps = losses.composite_loss(out, targets, cfg)
+        pred = jnp.argmax(out["mask"], axis=-1)
+        metrics = dict(comps)
+        metrics.update(pixel_metrics_device(pred, targets["mask"]))
+        if return_pred:
+            return metrics, pred, targets["mask"]
+        return metrics
+
+    return eval_step
 
 
 def make_eval_step(model, cfg, max_instances: int = 160,

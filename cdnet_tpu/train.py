@@ -27,9 +27,11 @@ from cdnet_tpu.data.dataset import DataFolder
 from cdnet_tpu.data.synthetic import SyntheticDataset
 from cdnet_tpu.data.transforms import get_transforms
 from cdnet_tpu.models import choose_model
-from cdnet_tpu.optimizers import get_optimizer, init_params_for
+from cdnet_tpu.optimizers import (PlateauTracker, get_optimizer,
+                                  init_params_for, set_plateau_scale)
 from cdnet_tpu.parallel import (TrainState, make_eval_step, make_mesh,
-                                make_train_step, replicate, shard_batch)
+                                make_sliding_eval_step, make_train_step,
+                                replicate, shard_batch)
 from cdnet_tpu.utils import (AverageMeter, EarlyStopping, ExperimentCSV,
                              load_checkpoint, save_checkpoint, setup_logging)
 
@@ -55,6 +57,30 @@ def build_dataset(cfg, synthetic: int = 0, label_postfix: str = "label.npy",
     label_dir = os.path.join(cfg.train.data_dir, "labels_instance", split)
     post_fix = ["weight.png", label_postfix]
     return DataFolder([img_dir, weight_dir, label_dir], post_fix,
+                      num_channels=cfg.model.in_c, data_transform=tf)
+
+
+def build_val_dataset(cfg, synthetic: int = 0,
+                      label_postfix: str = "label.npy"):
+    """Held-out validation data (reference train.py:216-259: a separate val
+    DataFolder at batch 1, deterministic transforms — to_tensor/normalize
+    only, no augmentation). Synthetic mode draws from a disjoint seed stream
+    so val tiles never overlap the train set."""
+    from cdnet_tpu.data.transforms import load_mean_std
+    ms = load_mean_std(cfg) if not synthetic else None
+    names = ["to_tensor"] + (["normalize"] if ms is not None else [])
+    tf = get_transforms(names, cfg.train.input_size, cfg.train.seed,
+                        mean=ms[0] if ms else None,
+                        std=ms[1] if ms else None)
+    if synthetic:
+        n_val = max(2, synthetic // 4)
+        return SyntheticDataset(n_val, max(cfg.train.input_size, 64),
+                                cfg.train.seed + 99991, data_transform=tf)
+    img_dir = os.path.join(cfg.train.data_dir, "images", "val")
+    weight_dir = os.path.join(cfg.train.weight_map_dir, "val")
+    label_dir = os.path.join(cfg.train.data_dir, "labels_instance", "val")
+    return DataFolder([img_dir, weight_dir, label_dir],
+                      ["weight.png", label_postfix],
                       num_channels=cfg.model.in_c, data_transform=tf)
 
 
@@ -166,7 +192,6 @@ def main(argv=None):
     logger.info(f"devices: {jax.devices()}")
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axis_names)
     model = choose_model(cfg)
-    opt = get_optimizer(cfg)
     native_crop = 0
     if ns.native_loader:
         from cdnet_tpu.data import native_loader
@@ -180,6 +205,18 @@ def main(argv=None):
     else:
         dataset = build_dataset(cfg, ns.synthetic, ns.label_postfix)
     logger.info(f"dataset: {len(dataset)} samples")
+    # epoch-granular schedulers need the real epoch length (torch steps them
+    # once per epoch, utils.py:940-962; batches_of drops the last short batch)
+    steps_per_epoch = max(1, len(dataset) // cfg.train.batch_size)
+    opt = get_optimizer(cfg, steps_per_epoch)
+    plateau = PlateauTracker(cfg.train.lr_decay, cfg.train.step) \
+        if cfg.train.scheduler == "ReduceLROnPlateau" else None
+    val_dataset = None
+    if cfg.train.validation:
+        val_dataset = build_val_dataset(cfg, ns.synthetic, ns.label_postfix)
+        logger.info(f"val dataset: {len(val_dataset)} samples "
+                    f"(sliding window {cfg.train.input_size}/"
+                    f"{cfg.train.val_overlap})")
 
     data_rng = np.random.RandomState(cfg.train.seed)
     first = next(batches_of(dataset, cfg.train.batch_size, data_rng,
@@ -200,8 +237,8 @@ def main(argv=None):
 
     state = replicate(state, mesh)
     train_step = make_train_step(model, cfg, opt, ns.max_instances)
-    eval_step = make_eval_step(model, cfg, ns.max_instances,
-                               return_pred=ns.do_object_metric)
+    eval_step = make_sliding_eval_step(model, cfg, ns.max_instances,
+                                       return_pred=ns.do_object_metric)
     stopper = EarlyStopping(patience=cfg.train.early_stop)
 
     best_iou = 0.0
@@ -226,12 +263,17 @@ def main(argv=None):
         train_avg = dict(zip(metric_keys or [], meter.avg))
         # validation=0 default: val metrics = train metrics (train.py:379-387)
         if cfg.train.validation:
+            # held-out val images, batch 1, sliding-window forward
+            # (reference train.py:259 + train_util_dam.validate:469-474)
             vmeter = AverageMeter(len(metric_keys))
             obj_meter = AverageMeter(7)
-            for batch in batches_of(dataset, cfg.train.batch_size, data_rng,
-                                     native_crop=native_crop):
+            for vi in range(len(val_dataset)):
+                img, wmap, inst = val_dataset[vi]
+                batch = {"image": np.asarray(img, np.float32)[None],
+                         "weight": np.asarray(wmap, np.float32)[None],
+                         "instance": np.asarray(inst, np.int32)[None]}
                 if ns.do_object_metric:
-                    vm, pred, mask3c = eval_step(state, shard_batch(batch, mesh))
+                    vm, pred, mask3c = eval_step(state, batch)
                     # reference do_object_metric (train_util_dam.py:589-605):
                     # fill holes, remove-small, CC-label, disk(radius) dilate,
                     # then greedy object matching vs the inside-class target
@@ -246,9 +288,8 @@ def main(argv=None):
                         obj_meter.update(list(
                             nuclei_accuracy_object_level(lab, m3 == 1)))
                 else:
-                    vm = eval_step(state, shard_batch(batch, mesh))
-                vmeter.update([float(vm[k]) for k in metric_keys],
-                              batch["image"].shape[0])
+                    vm = eval_step(state, batch)
+                vmeter.update([float(vm.get(k, 0.0)) for k in metric_keys], 1)
             val_avg = dict(zip(metric_keys, vmeter.avg))
             if ns.do_object_metric:
                 val_avg.update(zip(
@@ -260,6 +301,15 @@ def main(argv=None):
                      "obj_iou", "obj_haus", "obj_AJI"]))
         else:
             val_avg = train_avg
+
+        if plateau is not None:
+            # torch steps ReduceLROnPlateau once per epoch on the val loss
+            # (train.py:404-413; validation=0 falls back to train loss there)
+            scale = plateau.step(val_avg.get("loss", 0.0))
+            state = state.replace(
+                opt_state=set_plateau_scale(state.opt_state, scale))
+            logger.info(f"plateau: val_loss={val_avg.get('loss', 0.0):.4f} "
+                        f"lr={cfg.train.lr * scale:.3e}")
 
         iou = val_avg.get("pixel_iou", 0.0)
         f1 = val_avg.get("pixel_F1", 0.0)

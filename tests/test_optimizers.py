@@ -82,21 +82,101 @@ def test_every_optimizer_name_updates(opt_name):
 
 
 def test_plateau_scale_drops_after_patience():
-    """reduce_on_plateau halves the LR scale after `patience` flat steps."""
+    """PlateauTracker + plateau_scale: flat val losses shrink the update."""
+    from cdnet_tpu.optimizers import PlateauTracker, set_plateau_scale
+
     cfg = _tiny_cfg("ReduceLROnPlateau")
     cfg.train.lr_decay = 0.5
     cfg.train.step = 2
-    opt = get_optimizer(cfg, steps_per_epoch=1)  # patience = 2 updates
+    opt = get_optimizer(cfg, steps_per_epoch=1)
     params = {"w": jnp.ones(4)}
     state = opt.init(params)
     grads = {"w": jnp.ones(4)}
-    for _ in range(8):
+    tracker = PlateauTracker(cfg.train.lr_decay, cfg.train.step)
+    scales = []
+    for _epoch in range(8):
         updates, state = opt.update(grads, state, params,
                                     value=jnp.float32(1.0))
         params = optax.apply_updates(params, updates)
-    scale = float(jax.tree_util.tree_leaves(
-        [s.scale for s in jax.tree_util.tree_leaves(state, is_leaf=lambda x: hasattr(x, "scale")) if hasattr(s, "scale")])[0])
-    assert scale < 1.0
+        scale = tracker.step(1.0)  # flat val loss every epoch
+        scales.append(scale)
+        state = set_plateau_scale(state, scale)
+    # patience=2: first reduction after epoch 3 (bad epochs 1,2,3 > patience)
+    assert scales[:3] == [1.0, 1.0, 1.0]
+    assert scales[3] == 0.5
+    # the scale actually lands in opt_state and shrinks the next update
+    updates, state = opt.update(grads, state, params, value=jnp.float32(1.0))
+    assert np.allclose(np.asarray(updates["w"]),
+                       scales[-1] * -cfg.train.lr, atol=1e-6)
+
+
+def test_plateau_tracker_matches_torch_epoch_for_epoch():
+    """PlateauTracker vs torch ReduceLROnPlateau on a noisy loss trajectory
+    (the reference's construction: 'min', factor=lr_decay, patience=step;
+    utils.py:951-954). LR must agree at EVERY epoch."""
+    import torch
+
+    from cdnet_tpu.optimizers import PlateauTracker
+
+    lr0, factor, patience = 0.1, 0.5, 3
+    p = torch.nn.Parameter(torch.zeros(1))
+    topt = torch.optim.SGD([p], lr=lr0)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        topt, "min", factor=factor, patience=patience)
+    tracker = PlateauTracker(factor, patience, base_lr=lr0)
+
+    rng = np.random.RandomState(3)
+    losses = np.concatenate([
+        1.0 / (np.arange(10) + 1.0),          # improving
+        np.full(12, 0.2) + rng.rand(12) * 1e-6,  # plateau
+        0.05 / (np.arange(8) + 1.0),          # improving again
+        np.full(10, 0.05),                    # plateau
+    ])
+    for e, v in enumerate(losses):
+        tsched.step(float(v))
+        scale = tracker.step(float(v))
+        torch_lr = topt.param_groups[0]["lr"]
+        assert torch_lr == pytest.approx(lr0 * scale, rel=1e-12), \
+            f"epoch {e}: torch {torch_lr} vs ours {lr0 * scale}"
+    assert tracker.scale < 1.0  # the trajectory did trigger reductions
+
+
+@pytest.mark.parametrize("name,step,decay", [
+    ("StepLR", 5, 0.995), ("ExponentialLR", 1, 0.97),
+    ("CosineAnnealingWarmRestarts", 4, 0.9)])
+def test_schedule_matches_torch_over_epochs_and_steps(name, step, decay):
+    """make_schedule(steps_per_epoch=M) vs the torch scheduler stepped once
+    per epoch (train.py:404-413): for every epoch e and within-epoch step m,
+    our lr(e*M + m) must equal torch's lr at epoch e — the round-2 driver
+    regression was decaying per optimizer STEP (steps_per_epoch defaulted
+    to 1)."""
+    import torch
+
+    lr0, M = 0.01, 7
+    cfg = _tiny_cfg(name)
+    cfg.train.lr, cfg.train.lr_decay, cfg.train.step = lr0, decay, step
+    sched = make_schedule(cfg, steps_per_epoch=M)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    topt = torch.optim.SGD([p], lr=lr0)
+    if name == "StepLR":
+        tsched = torch.optim.lr_scheduler.StepLR(topt, step_size=step,
+                                                 gamma=decay)
+    elif name == "ExponentialLR":
+        tsched = torch.optim.lr_scheduler.ExponentialLR(topt, gamma=decay)
+    else:
+        tsched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+            topt, T_0=step, T_mult=2, eta_min=0)
+    # the cosine closed form evaluates in f32 inside jit; 1e-4 relative slack
+    # covers its rounding, the geometric schedules are exact to 1e-6
+    rel = 1e-4 if name == "CosineAnnealingWarmRestarts" else 1e-6
+    for epoch in range(40):
+        torch_lr = topt.param_groups[0]["lr"]
+        for m in range(M):
+            ours = float(sched(epoch * M + m))
+            assert ours == pytest.approx(torch_lr, rel=rel), \
+                f"{name} epoch {epoch} step {m}"
+        tsched.step()
 
 
 def test_schedule_shapes():

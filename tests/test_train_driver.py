@@ -1,0 +1,81 @@
+"""Train-driver wiring tests (the round-2 VERDICT's Weak #1/#2): the shipped
+driver must pass the real ``steps_per_epoch`` into the optimizer factory
+(reference steps schedulers per EPOCH, utils.py:940-962) and ``validation=1``
+must evaluate HELD-OUT tiles, not the training set
+(reference train.py:216-259 builds a separate val DataFolder).
+"""
+import numpy as np
+import pytest
+
+import cdnet_tpu.train as T
+from cdnet_tpu.config import Config
+
+
+def _args(tmp_path, extra=()):
+    # batch 8 = the test mesh's device count (conftest forces 8 virtual CPU
+    # devices; the driver shards the batch over them)
+    return ["--synthetic", "16", "--model-name", "UNet", "--direction", "0",
+            "--mseloss", "0", "--epochs", "1", "--batch-size", "8",
+            "--input-size", "64", "--save-dir", str(tmp_path / "run"),
+            *extra]
+
+
+def test_val_dataset_disjoint_from_train():
+    """Synthetic val tiles come from a disjoint seed stream: no val tile may
+    byte-match any train tile."""
+    cfg = Config()
+    cfg.train.input_size = 64
+    train_ds = T.build_dataset(cfg, synthetic=8)
+    val_ds = T.build_val_dataset(cfg, synthetic=8)
+    assert len(val_ds) >= 2
+    train_imgs = [np.asarray(train_ds[i][0]) for i in range(len(train_ds))]
+    for j in range(len(val_ds)):
+        v = np.asarray(val_ds[j][0])
+        assert not any(v.shape == t.shape and np.array_equal(v, t)
+                       for t in train_imgs), f"val tile {j} is a train tile"
+
+
+@pytest.mark.slow
+def test_driver_passes_real_steps_per_epoch(tmp_path, monkeypatch):
+    """train.py must call get_optimizer with len(dataset)//batch_size — the
+    round-2 bug was the default steps_per_epoch=1 making epoch schedulers
+    decay per STEP."""
+    seen = {}
+    real = T.get_optimizer
+
+    def spy(cfg, steps_per_epoch=1):
+        seen["steps_per_epoch"] = steps_per_epoch
+        return real(cfg, steps_per_epoch)
+
+    monkeypatch.setattr(T, "get_optimizer", spy)
+    T.main(_args(tmp_path))
+    assert seen["steps_per_epoch"] == 16 // 8
+
+
+@pytest.mark.slow
+def test_validation_evaluates_held_out_tiles(tmp_path, monkeypatch):
+    """validation=1: the driver's eval step must consume val-dataset tiles
+    (never train tiles) and drive the plateau tracker with the val loss."""
+    eval_images = []
+    real_make = T.make_sliding_eval_step
+
+    def wrap_make(*a, **k):
+        step = real_make(*a, **k)
+
+        def wrapped(state, batch):
+            eval_images.append(np.asarray(batch["image"]))
+            return step(state, batch)
+        return wrapped
+
+    monkeypatch.setattr(T, "make_sliding_eval_step", wrap_make)
+    T.main(_args(tmp_path, ["--validation", "1",
+                            "--scheduler", "ReduceLROnPlateau"]))
+    assert eval_images, "validation=1 never ran the eval step"
+
+    cfg = Config()
+    cfg.train.input_size = 64
+    train_ds = T.build_dataset(cfg, synthetic=16)
+    train_imgs = [np.asarray(train_ds[i][0]) for i in range(len(train_ds))]
+    for img in eval_images:
+        assert not any(np.array_equal(img[0], t) for t in train_imgs), \
+            "validation evaluated a training tile"
