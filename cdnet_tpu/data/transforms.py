@@ -265,15 +265,33 @@ class Compose:
         return imgs
 
 
-def load_mean_std(cfg):
-    """(mean, std) for Normalize when 'normalize' is in cfg.train.trans_train,
-    loaded from {data_dir}/{mean_std}.npy — a (2,3) array in [0,1] units
-    (options.py:355,471). Returns None when normalization is off."""
-    if "normalize" not in cfg.train.trans_train:
-        return None
+def load_mean_std(cfg, test: bool = False):
+    """(mean, std) for Normalize from {data_dir}/{mean_std}.npy — a (2,3)
+    array in [0,1] units (options.py:355,471). Returns None when
+    normalization is off.
+
+    Gating parity: at TRAIN time normalization needs 'normalize' in
+    trans_train (options.py:354-355); at TEST time the reference applies it
+    UNCONDITIONALLY unless '_noNorm' appears in the test save_dir
+    (options.py:463-472) — the experiment name is the opt-out. Deliberate
+    divergence: a missing mean_std.npy degrades to no-normalization with a
+    warning instead of the reference's FileNotFoundError, so datasets
+    without the file stay usable."""
     import os
-    arr = np.load(os.path.join(cfg.train.data_dir,
-                               cfg.model.mean_std + ".npy"))
+    if test:
+        if "_noNorm" in cfg.test.save_dir:
+            return None
+    elif "normalize" not in cfg.train.trans_train:
+        return None
+    path = os.path.join(cfg.train.data_dir, cfg.model.mean_std + ".npy")
+    if test and not os.path.exists(path):
+        import warnings
+        warnings.warn(f"test-time normalize is on by default (no '_noNorm' "
+                      f"in save_dir) but {path} is missing; proceeding "
+                      f"WITHOUT normalization — the reference would crash "
+                      f"here (options.py:471)")
+        return None
+    arr = np.load(path)
     return (np.asarray(arr[0], np.float32), np.asarray(arr[1], np.float32))
 
 

@@ -175,7 +175,8 @@ REF_HEADER = ["pixel_acc", "pixel_IoU", "pixel_Recall", "pixel_Precision",
 
 def evaluate_instances(pred_labels: np.ndarray, gt_instances: np.ndarray,
                        annotation_path: str | None = None,
-                       compute_hausdorff: bool = True) -> dict:
+                       compute_hausdorff: bool = True,
+                       compute_dice2: bool = False) -> dict:
     """Full per-image metric bundle (test_dam.py:583-669), ordered like
     REF_HEADER:
 
@@ -204,8 +205,13 @@ def evaluate_instances(pred_labels: np.ndarray, gt_instances: np.ndarray,
     aji_h, ana_fp, ana_fn, ana_less, ana_more = M.get_fast_aji(gl, pl)
     dice_h = M.get_dice_1(gl, pl)
     [dq, sq, pq], _ = M.get_fast_pq(gl, pl)
+    # Dice2_h defaults to the reference's hardcoded 0.0 (its get_fast_dice_2
+    # call is disabled, test_dam.py:619); --dice2 populates the column for
+    # our own runs
+    dice2_h = M.get_fast_dice_2(gl, pl) if compute_dice2 else 0.0
     row = [pix[0], pix[1], pix[2], pix[3], pix[4], *obj,
-           aji_h, dice_h, 0.0, dq, sq, pq, ana_fp, ana_fn, ana_less, ana_more]
+           aji_h, dice_h, dice2_h, dq, sq, pq,
+           ana_fp, ana_fn, ana_less, ana_more]
     return dict(zip(REF_HEADER, (float(v) for v in row)))
 
 
@@ -256,6 +262,10 @@ def main(argv=None):
                         help="shard the TTA/tile batch over all devices")
     parser.add_argument("--no-hausdorff", action="store_true",
                         help="skip the (slow, host-side) Hausdorff metric")
+    parser.add_argument("--dice2", action="store_true",
+                        help="compute the Dice2_h column (the reference "
+                             "hardcodes it to 0, test_dam.py:619; off by "
+                             "default for parity)")
     parser.add_argument("--reference-checkpoint", type=str, default="",
                         help="migrate a reference-trained .pth.tar "
                              "(checkpoint_best.pth.tar from the original "
@@ -305,11 +315,11 @@ def main(argv=None):
         from cdnet_tpu.parallel import make_mesh
         mesh = make_mesh()
 
-    # test-time Normalize parity (options.py:469-472): when the model was
-    # trained with 'normalize' in trans_train, the test transform applies
-    # (x/255 - mean)/std with mean_std.npy from the dataset dir
+    # test-time Normalize parity (options.py:463-472): applied by DEFAULT
+    # with mean_std.npy from the dataset dir; opt out by putting '_noNorm'
+    # in the experiment/save-dir name, exactly like the reference
     from cdnet_tpu.data.transforms import load_mean_std
-    mean_std = load_mean_std(cfg)
+    mean_std = load_mean_std(cfg, test=True)
 
     os.makedirs(cfg.test.save_dir, exist_ok=True)
     meter = AverageMeter(len(REF_HEADER))
@@ -368,7 +378,8 @@ def main(argv=None):
                 count_real.append(len(np.unique(gt)))
             m = evaluate_instances(
                 pred_inst, gt, annotation_path=ann_path,
-                compute_hausdorff=not ns.no_hausdorff)
+                compute_hausdorff=not ns.no_hausdorff,
+                compute_dice2=ns.dice2)
             # sklearn 'samples' jaccard on the BINARY maps (test_dam.py:583)
             from cdnet_tpu.metrics.pixel import jaccard_samples
             ji_sum += jaccard_samples(
@@ -417,9 +428,13 @@ def main(argv=None):
                    "radius": cfg.post.radius,
                    "groundtruth": cfg.test.groundtruth,
                    "AllImgTest": cfg.test.all_img_test})
+        # append a NEW row when this tp block is already filled (repeated
+        # test runs at different epochs are all preserved — the reference's
+        # Test_epoch branch, test_dam.py:778-785 / advisor round-2 finding)
         ExperimentCSV(os.path.join("experiments",
                                    f"logExl_{cfg.dataset}.csv")).upsert(
-            cfg.exp_filename(), t1)
+            cfg.exp_filename(), t1,
+            append_if_set=(f"{tp}_pixel_acc", f"{tp}_Dice", f"{tp}_AJI"))
         print("AVG: " + "  ".join(f"{k}={v:.4f}" for k, v in summary.items()))
         return summary
     return None

@@ -199,8 +199,34 @@ def import_reference_checkpoint(path_or_sd, variables: dict) -> dict:
             "unrecognized reference checkpoint layout (expected the VGG16 "
             f"backbone at 'backbone.0.weight'); keys: {sorted(sd)[:5]}...")
     params, stats = import_unet_vgg16_full(sd)
+    # full-model migration contract: every subtree the configured model owns
+    # must come from the checkpoint. import_unet_vgg16_full maps head
+    # modules only when their torch keys exist, so loading e.g. a plain
+    # UNet_vgg16 .pth.tar into a DAM config would silently leave the DAM
+    # heads at random init (advisor round-2 finding) — surface that loudly.
+    missing = _uncovered_paths(variables["params"], params)
+    if missing:
+        import warnings
+        warnings.warn(
+            f"reference checkpoint leaves {len(missing)} model subtree(s) at "
+            f"random init (not present in the .pth.tar): {missing[:8]} — "
+            f"does the checkpoint match cfg.model (DAM heads vs plain)?")
     out = graft_backbone(variables, params, stats, backbone_name=None)
     return out
+
+
+def _uncovered_paths(model_tree: dict, imported_tree: dict,
+                     path: str = "") -> list[str]:
+    """Key paths present in the model's param tree but absent from the
+    imported tree (pruned at the shallowest uncovered node)."""
+    missing = []
+    for k, v in model_tree.items():
+        here = f"{path}/{k}" if path else k
+        if k not in imported_tree:
+            missing.append(here)
+        elif isinstance(v, dict) and isinstance(imported_tree[k], dict):
+            missing += _uncovered_paths(v, imported_tree[k], here)
+    return missing
 
 
 def apply_pretrained(cfg, variables: dict) -> dict:

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from cdnet_tpu.ops import geometry
-from cdnet_tpu.ops.centerpoint import instance_centers
+from cdnet_tpu.ops.centerpoint import centerness_map
 from cdnet_tpu.ops.connected import label as cc_label
 from cdnet_tpu.ops.edt import normalized_instance_edt
 from cdnet_tpu.ops.filters import gaussian_filter
@@ -102,53 +102,104 @@ def direction_and_point(label_instance: jnp.ndarray, inside_mask: jnp.ndarray,
     8-ray centerness, center-distance field on the disk(radius)-dilated
     instance, 11x11 Sobel, last-id-wins merge — then angle quantization into
     8 classes (+1 shift, 0 = background outside ``inside_mask``).
+
+    ``max_instances`` is a CHUNK size, not a cap: ids are processed in
+    while_loop rounds of ``max_instances`` until max(labels) is covered, so
+    any instance count is handled exactly (the reference's per-instance
+    Python loop runs over every id, my_transforms_direction.py:800-835; the
+    round-2 version silently gave ids past the bound a constant wrong
+    direction class). One round suffices for typical tiles, so the common
+    case costs exactly what the unchunked version did.
     """
     labels = jnp.asarray(label_instance, dtype=jnp.int32)
     h, w = labels.shape
     n = max_instances
 
-    centers, valid = instance_centers(labels, n)  # (N,2), (N,)
+    # centerness is chunk-independent: compute once
+    cent = centerness_map(labels)
+    flat_l = labels.reshape(-1)
+    flat_c = cent.reshape(-1)
+    n_total = jnp.max(labels)
 
-    # per-instance dilated masks (N,H,W)
-    ids = jnp.arange(1, n + 1, dtype=jnp.int32)
-    onehot = labels[None] == ids[:, None, None]
-    onehot_dil = jax.vmap(lambda m: dilation(m, radius))(onehot)
-    onehot_dil = onehot_dil & valid[:, None, None]
-
-    # center-distance field: |p - c_k| * mask ; normalized, inverted
     hh = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     ww = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    dy = hh[None] - centers[:, 0, None, None].astype(jnp.float32)
-    dx = ww[None] - centers[:, 1, None, None].astype(jnp.float32)
-    int_pos = jnp.sqrt(dy * dy + dx * dx) * onehot_dil
-    max_k = jnp.max(int_pos.reshape(n, -1), axis=1)
-    dcm = (1.0 - int_pos / (max_k[:, None, None] + 1e-7)) * onehot_dil
-
-    # 11x11 Sobel per instance, zeroed outside that instance's dilated mask.
-    # As a DEPTHWISE conv with the instance dim in lanes: the natural
-    # (N*batch, H, W, 1) single-channel conv leaves the MXU/VPU lanes 99%
-    # idle (measured 24 ms for this one conv at batch 8); grouped over
-    # N=160 lane channels it is a well-tiled stencil (~4 ms). Numerics are
-    # identical: same kernel per group, same zero padding.
-    kbank = geometry.sobel_kernel(sobel_ksize)           # (k,k,1,2)
-    xc = jnp.moveaxis(dcm, 0, -1)[None]                  # (1,H,W,N)
-    pad = [(sobel_ksize // 2,) * 2] * 2
-    grads = jnp.stack([
-        jnp.moveaxis(jax.lax.conv_general_dilated(
-            xc, jnp.tile(kbank[..., c:c + 1], (1, 1, 1, n)), (1, 1), pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=n)[0], -1, 0)
-        for c in range(2)])                              # (2,N,H,W)
-    grads = grads * onehot_dil[None]
-
-    # last-writer-wins by ascending id: owner = max covering id
-    owner = jnp.max(jnp.where(onehot_dil, ids[:, None, None], 0), axis=0)  # (H,W)
-    has_owner = owner > 0
-    owner_idx = jnp.clip(owner - 1, 0, n - 1)
     ih = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     iw = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    gh = jnp.where(has_owner, grads[0][owner_idx, ih, iw], 0.0)  # (H,W)
-    gw = jnp.where(has_owner, grads[1][owner_idx, ih, iw], 0.0)
+    kbank = geometry.sobel_kernel(sobel_ksize)           # (k,k,1,2)
+    pad = [(sobel_ksize // 2,) * 2] * 2
+    pix = jnp.arange(h * w, dtype=jnp.int32)
+
+    def chunk_centers(base):
+        """instance_centers for ids base+1 .. base+n (cdnet_tpu.ops
+        .centerpoint semantics: first raster-order centerness maximum)."""
+        rel = flat_l - base
+        in_r = (rel >= 1) & (rel <= n)
+        rel = jnp.where(in_r, rel, 0)
+        best = jnp.full(n + 1, -1.0, cent.dtype).at[rel].max(
+            jnp.where(in_r, flat_c, -1.0))
+        is_best = in_r & (flat_c == best[rel])
+        win = jnp.full(n + 1, jnp.int32(h * w)).at[
+            jnp.where(is_best, rel, 0)].min(jnp.where(is_best, pix, h * w))
+        win = win[1:]
+        valid = (best[1:] > -1.0) & (win < h * w)
+        centers = jnp.stack([win // w, win % w], axis=-1)
+        return jnp.where(valid[:, None], centers, 0), valid
+
+    def chunk_body(carry):
+        base, owner, gh, gw, point = carry
+        centers, valid = chunk_centers(base)
+        ids = base + jnp.arange(1, n + 1, dtype=jnp.int32)
+
+        # per-instance dilated masks (n,H,W) for this id range
+        onehot = labels[None] == ids[:, None, None]
+        onehot_dil = jax.vmap(lambda m: dilation(m, radius))(onehot)
+        onehot_dil = onehot_dil & valid[:, None, None]
+
+        # center-distance field: |p - c_k| * mask ; normalized, inverted
+        dy = hh[None] - centers[:, 0, None, None].astype(jnp.float32)
+        dx = ww[None] - centers[:, 1, None, None].astype(jnp.float32)
+        int_pos = jnp.sqrt(dy * dy + dx * dx) * onehot_dil
+        max_k = jnp.max(int_pos.reshape(n, -1), axis=1)
+        dcm = (1.0 - int_pos / (max_k[:, None, None] + 1e-7)) * onehot_dil
+
+        # 11x11 Sobel per instance, zeroed outside that instance's dilated
+        # mask. As a DEPTHWISE conv with the instance dim in lanes: the
+        # natural (N*batch, H, W, 1) single-channel conv leaves the MXU/VPU
+        # lanes 99% idle (measured 24 ms for this one conv at batch 8);
+        # grouped over n=160 lane channels it is a well-tiled stencil
+        # (~4 ms). Numerics are identical: same kernel per group, same zero
+        # padding.
+        xc = jnp.moveaxis(dcm, 0, -1)[None]              # (1,H,W,n)
+        grads = jnp.stack([
+            jnp.moveaxis(jax.lax.conv_general_dilated(
+                xc, jnp.tile(kbank[..., c:c + 1], (1, 1, 1, n)), (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=n)[0], -1, 0)
+            for c in range(2)])                          # (2,n,H,W)
+        grads = grads * onehot_dil[None]
+
+        # last-writer-wins by ascending id: owner = max covering id, both
+        # within this chunk and across chunks (bases ascend)
+        c_owner = jnp.max(jnp.where(onehot_dil, ids[:, None, None], 0),
+                          axis=0)                        # (H,W)
+        c_idx = jnp.clip(c_owner - 1 - base, 0, n - 1)
+        c_gh = jnp.where(c_owner > 0, grads[0][c_idx, ih, iw], 0.0)
+        c_gw = jnp.where(c_owner > 0, grads[1][c_idx, ih, iw], 0.0)
+        upd = c_owner > owner
+        owner = jnp.where(upd, c_owner, owner)
+        gh = jnp.where(upd, c_gh, gh)
+        gw = jnp.where(upd, c_gw, gw)
+        point = point.at[centers[:, 0], centers[:, 1]].add(
+            jnp.where(valid, 255.0, 0.0))
+        return base + n, owner, gh, gw, point
+
+    init = (jnp.zeros((), jnp.int32),
+            jnp.zeros((h, w), jnp.int32),                # owner
+            jnp.zeros((h, w), jnp.float32),              # gh
+            jnp.zeros((h, w), jnp.float32),              # gw
+            jnp.zeros((h, w), jnp.float32))              # point
+    _, owner, gh, gw, point = jax.lax.while_loop(
+        lambda c: c[0] < n_total, chunk_body, init)
 
     # angle -> 8-class quantization (my_transforms_direction.py:852-871).
     # The reference's angle_to_vector -> vector_to_label round-trip maps an
@@ -160,10 +211,8 @@ def direction_and_point(label_instance: jnp.ndarray, inside_mask: jnp.ndarray,
     _, dir_cls = geometry.align_angle(angle, num_classes=8)
     dir_cls = jnp.where(inside_mask, dir_cls + 1, 0).astype(jnp.int32)
 
-    # point heatmap: 255 at centers, gaussian sigma=2, reference casts float16
-    point = jnp.zeros((h, w), jnp.float32)
-    point = point.at[centers[:, 0], centers[:, 1]].add(
-        jnp.where(valid, 255.0, 0.0))
+    # point heatmap: 255 at centers (accumulated per chunk above), gaussian
+    # sigma=2; the reference casts float16
     point_gauss = gaussian_filter(point, sigma=2).astype(jnp.float16)
     return dir_cls, point_gauss.astype(jnp.float32)
 

@@ -30,7 +30,13 @@ import jax.numpy as jnp
 from cdnet_tpu.ops.morphology import shifted_views
 
 _OFFS_4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
-_LABEL_BITS = 16
+# the packed int32 key gives dist its minimal high bits and labels the rest:
+# with the default num_levels=256 that is 23 label bits (8.4M ids). Marker
+# ids come from connected-component labeling, and every surviving component
+# holds >= min_size (5) pixels after remove_small_objects, so even a
+# 4096x4096 whole-slide mask yields < 2^22 ids — 16 bits (the round-2
+# constant) could overflow there (advisor finding), 23 cannot.
+_LABEL_BITS = 23
 _LABEL_MASK = (1 << _LABEL_BITS) - 1
 
 
@@ -40,8 +46,11 @@ def watershed(dist: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
 
     Equivalent to skimage ``watershed(-dist, markers, mask=mask)`` with
     4-connectivity (skimage default connectivity=1). ``dist`` is quantized
-    to integer levels in [0, num_levels); labels must fit in 16 bits.
+    to integer levels in [0, num_levels); labels must fit in the remaining
+    ``_LABEL_BITS`` of the int32 key (see module constant above).
     """
+    assert num_levels <= 1 << (31 - _LABEL_BITS), \
+        f"num_levels={num_levels} overflows the packed int32 key"
     mask = mask.astype(bool)
     markers = jnp.where(mask, markers.astype(jnp.int32), 0)
     dist = jnp.clip(jnp.asarray(dist), 0, num_levels - 1).astype(jnp.int32)

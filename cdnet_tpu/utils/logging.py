@@ -77,19 +77,29 @@ class ExperimentCSV:
             reader = csv.DictReader(f)
             return list(reader.fieldnames or []), list(reader)
 
-    def upsert(self, key: str, values: dict):
+    def upsert(self, key: str, values: dict, append_if_set: tuple = ()):
+        """Update the experiment's row in place — unless any column named in
+        ``append_if_set`` is already filled on that row, in which case a NEW
+        row is appended (hyperparameter columns copied over). This matches
+        the reference's Test_epoch logic (test_dam.py:778-835): repeated test
+        runs at different epochs each keep their own metric row instead of
+        clobbering the previous one."""
         fields, rows = self._read()
         values = {self.key_field: key, **{k: str(v) for k, v in values.items()}}
         for k in values:
             if k not in fields:
                 fields.append(k)
-        found = False
-        for row in rows:
-            if row.get(self.key_field) == key:
-                row.update(values)
-                found = True
-        if not found:
+        matches = [r for r in rows if r.get(self.key_field) == key]
+        if not matches:
             rows.append(values)
+        else:
+            row = matches[-1]
+            if any(row.get(c) not in (None, "") for c in append_if_set):
+                new_row = dict(row)
+                new_row.update(values)
+                rows.append(new_row)
+            else:
+                row.update(values)
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         with open(self.path, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=fields, restval="")

@@ -74,6 +74,17 @@ def install_shims():
 
     os.chdir = lambda *_a, **_k: None  # train.py:29-30 hardcoded Windows path
 
+    # the reference saves checkpoints with numpy scalars inside; modern torch
+    # defaults weights_only=True and refuses them — restore the old default
+    import torch
+    _orig_load = torch.load
+
+    def _load(*a, **k):
+        k.setdefault("weights_only", False)
+        return _orig_load(*a, **k)
+
+    torch.load = _load
+
 
 def patch_workers_and_cache():
     """workers=0 + LabelEncoding content-hash cache (numerics-neutral)."""

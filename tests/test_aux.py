@@ -165,6 +165,59 @@ class TestNormalize:
         np.testing.assert_allclose(mean, arr[0])
         np.testing.assert_allclose(std, arr[1])
 
+    def test_load_mean_std_test_time_default_on(self, tmp_path):
+        """options.py:463-472: at TEST time normalization is UNCONDITIONAL —
+        regardless of trans_train — unless '_noNorm' appears in the test
+        save_dir (advisor round-2 finding)."""
+        from cdnet_tpu.config import Config
+        arr = np.array([[0.7, 0.5, 0.6], [0.2, 0.25, 0.3]], np.float32)
+        np.save(tmp_path / "mean_std.npy", arr)
+        cfg = Config()
+        cfg.train.data_dir = str(tmp_path)
+        cfg.test.save_dir = str(tmp_path / "exp_3c")
+        assert "normalize" not in cfg.train.trans_train
+        ms = TR.load_mean_std(cfg, test=True)  # on despite train gating
+        assert ms is not None
+        np.testing.assert_allclose(ms[0], arr[0])
+        # the reference's opt-out: '_noNorm' anywhere in the save dir
+        cfg.test.save_dir = str(tmp_path / "exp_3c_noNorm")
+        assert TR.load_mean_std(cfg, test=True) is None
+        # divergence (documented): missing mean_std.npy warns instead of
+        # crashing
+        cfg.test.save_dir = str(tmp_path / "exp_3c")
+        cfg.train.data_dir = str(tmp_path / "nowhere")
+        with pytest.warns(UserWarning, match="mean_std"):
+            assert TR.load_mean_std(cfg, test=True) is None
+
+
+class TestExperimentCSV:
+    def test_repeat_test_runs_append_rows(self, tmp_path):
+        """test_dam.py:778-835: a second test run whose metric block is
+        already filled must APPEND a row (advisor round-2 finding: upsert was
+        clobbering earlier epochs' metrics)."""
+        from cdnet_tpu.utils import ExperimentCSV
+        path = str(tmp_path / "logExl.csv")
+        csv = ExperimentCSV(path)
+        csv.upsert("exp_a", {"Model": "UNet", "Epoch": 100})  # train header
+        csv.upsert("exp_a", {"t1_Dice": 0.8, "t1_AJI": 0.6},
+                   append_if_set=("t1_Dice",))
+        # first test run fills the train row in place
+        _, rows = csv._read()
+        assert len(rows) == 1 and rows[0]["t1_Dice"] == "0.8"
+        # second test run (different epoch): new row, old metrics preserved,
+        # hyperparameter columns carried over
+        csv.upsert("exp_a", {"t1_Dice": 0.9, "t1_AJI": 0.7},
+                   append_if_set=("t1_Dice",))
+        _, rows = csv._read()
+        assert len(rows) == 2
+        assert rows[0]["t1_Dice"] == "0.8" and rows[1]["t1_Dice"] == "0.9"
+        assert rows[1]["Model"] == "UNet"
+        # a t2 block landing on the appended row updates in place (its
+        # sentinel columns are still empty)
+        csv.upsert("exp_a", {"t2_Dice": 0.85}, append_if_set=("t2_Dice",))
+        _, rows = csv._read()
+        assert len(rows) == 2 and rows[1]["t2_Dice"] == "0.85"
+
 
 class TestDcmVotingMode:
     def test_consensus(self):

@@ -85,6 +85,60 @@ class TestLabelEncodingParity:
         mism = np.asarray(s["direction"]) != ref_dir
         assert mism.mean() < 0.005, f"{mism.sum()} direction px differ"
 
+    @pytest.mark.slow
+    def test_more_instances_than_chunk(self):
+        """> max_instances ids in one tile (round-2 VERDICT Missing #4): the
+        chunked while_loop must cover EVERY instance — the old code silently
+        gave ids past the bound a constant wrong direction class. 169 discs,
+        chunk size 32 -> 6 loop rounds; compared against the reference's own
+        LabelEncoding (my_transforms_direction.py:800-835 loops over every
+        actual id)."""
+        # radius-6 discs: after the boundary ring + EDT>125 marker + erosion,
+        # the resplit markers still clear remove_small_objects(5) on both
+        # sides (smaller discs vanish identically in BOTH pipelines, which
+        # would make the comparison vacuous)
+        inst = np.zeros((224, 224), np.int32)
+        k = 0
+        for gy in range(13):
+            for gx in range(13):
+                k += 1
+                cy, cx = 10 + gy * 16, 10 + gx * 16
+                yy, xx = np.mgrid[-6:7, -6:7]
+                m = yy * yy + xx * xx <= 36
+                inst[cy - 6:cy + 7, cx - 6:cx + 7][m] = k
+        assert k == 169
+
+        enc = mtd.LabelEncoding(out_c=3, radius=1, do_direction=1)
+        out = enc((None, None, inst))
+        ref_point = np.asarray(out[3], np.float64)
+        ref_dir = np.asarray(out[4], np.int32)
+
+        s = synthesize_labels(jnp.asarray(inst), max_instances=32)
+        # every disc keeps its center: 169 points on both sides
+        assert int(round(float(np.asarray(s["point"]).sum() / 255))) == 169
+        assert np.allclose(np.asarray(s["point"], np.float64), ref_point,
+                           atol=0.5)
+        # chunking is numerics-neutral: 6 while_loop rounds of 32 must equal
+        # one round of 192 BIT-EXACTLY
+        s_wide = synthesize_labels(jnp.asarray(inst), max_instances=192)
+        assert np.array_equal(np.asarray(s["direction"]),
+                              np.asarray(s_wide["direction"]))
+        assert np.array_equal(np.asarray(s["point"]),
+                              np.asarray(s_wide["point"]))
+        # vs the oracle: exactly the documented zero-gradient tie at each
+        # disc center may differ (float noise picks the sector in BOTH
+        # frameworks); every other pixel matches
+        ours = np.asarray(s["direction"])
+        for kk in (1, 33, 100, 169):  # ids across all 6 chunks
+            mk = inst == kk
+            n_mism = int((ours[mk] != ref_dir[mk]).sum())
+            assert n_mism <= 1, f"disc {kk}: {n_mism} px differ"
+            # the overflow failure mode was a CONSTANT class per overflow
+            # instance; a centripetal disc must cover all 8 sectors
+            assert len(np.unique(ours[mk])) == 8, f"disc {kk} not centripetal"
+        mism = ours != ref_dir
+        assert mism.mean() < 0.005, f"{mism.sum()} direction px differ"
+
     @pytest.mark.parametrize("seed", [7, 23])
     def test_supervision_instances(self, seed):
         """The watershed-resplit + dilate supervision instance map."""
