@@ -140,6 +140,200 @@ def time_pipeline(pipeline, img, label: str, iters: int = 10):
     return pip, ser, counts[-1]
 
 
+def measure_dispatch_floor():
+    """Per-call host<->device round-trip floor (the axon tunnel costs ~35 ms
+    per scalar fetch; stage times subtract it so they reflect device time)."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jnp.zeros((8,), jnp.float32)
+    f = jax.jit(jnp.max)
+    int(jax.device_get(f(tiny)))
+    t0 = time.time()
+    for _ in range(10):
+        int(jax.device_get(f(tiny)))
+    return (time.time() - t0) / 10
+
+
+def stage_timings(model, variables, cfg, img, floor_s: float) -> dict:
+    """Per-stage device-time ledger (VERDICT r2 Missing #5).
+
+    The full pipeline is ONE fused jit program, so stages are re-measured as
+    standalone jit programs over the same tensors: (1) 8-view TTA forward,
+    (2) DDM generation + fusion + boundary enhancement + argmax,
+    (3) CC instancing, (4) watershed instancing. Each is timed serialized
+    (scalar fetch per run) minus the dispatch floor. Stage programs re-do a
+    little glue the fused program shares, so the sum slightly OVERestimates
+    the fused end-to-end time — good enough to locate the dominant stage.
+    """
+    import jax
+    import jax.numpy as jnp
+    from cdnet_tpu.infer import make_model_fn
+    from cdnet_tpu.ops import tta as T
+    from cdnet_tpu.ops.ddm import generate_dd_maps_batch
+    from cdnet_tpu.ops.postproc import enhance_boundary_cf, instances_from_pred
+
+    dc = cfg.model.direction_classes
+    model_fn = make_model_fn(model)
+
+    @jax.jit
+    def forward(v, image):
+        out = model_fn(v, T.expand(image))
+        return {"prob": T.invert_last2(out["prob"]),
+                "point": T.invert_last2(out["point"]),
+                "dcls": T.invert_last2(out["direction_cls"]).astype(jnp.int32)}
+
+    @jax.jit
+    def ddm_enhance(prob_v, point_v, d_v):
+        prob = jnp.mean(prob_v, axis=-3)
+        point = jnp.mean(point_v, axis=-3)
+        ddm = jnp.mean(generate_dd_maps_batch(d_v, dc), axis=0)
+        prob = enhance_boundary_cf(prob, point, ddm)
+        best, pred = prob[0], jnp.zeros(prob.shape[1:], jnp.int32)
+        for ci in range(1, prob.shape[0]):
+            take = prob[ci] > best
+            best = jnp.where(take, prob[ci], best)
+            pred = jnp.where(take, ci, pred)
+        return pred
+
+    @jax.jit
+    def cc_stage(pred):
+        return instances_from_pred(pred, min_area=cfg.post.min_area,
+                                   radius=cfg.post.radius,
+                                   use_watershed=False)[0]
+
+    @jax.jit
+    def ws_stage(pred):
+        return instances_from_pred(pred, min_area=cfg.post.min_area,
+                                   radius=cfg.post.radius,
+                                   use_watershed=True)[0]
+
+    def timed(fn, *args, fetch=jnp.max, iters=8):
+        out = fn(*args)
+        probe = jax.tree_util.tree_leaves(out)[0]
+        int(jax.device_get(fetch(probe)).astype(np.int32))  # compile+run
+        t0 = time.time()
+        for _ in range(iters):
+            o = fn(*args)
+            p = jax.tree_util.tree_leaves(o)[0]
+            int(jax.device_get(fetch(p)).astype(np.int32))
+        return max((time.time() - t0) / iters - floor_s, 0.0) * 1e3, out
+
+    fwd_ms, fwd_out = timed(forward, variables, img)
+    ddm_ms, pred = timed(ddm_enhance, fwd_out["prob"], fwd_out["point"],
+                         fwd_out["dcls"])
+    cc_ms, _ = timed(cc_stage, pred)
+    ws_ms, _ = timed(ws_stage, pred)
+
+    # forward FLOPs -> MFU: XLA's own cost analysis of the compiled 8-view
+    # forward; peak = 197 TFLOP/s bf16 on TPU v5e (v5 lite) per chip
+    mfu = flops = None
+    try:
+        cost = jax.jit(forward).lower(variables, img).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        if flops:
+            mfu = (flops / (fwd_ms / 1e3)) / 197e12
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        print(f"[stages] cost_analysis unavailable: {e}", file=sys.stderr)
+
+    ledger = {"forward_tta8_ms": round(fwd_ms, 1),
+              "ddm_enhance_ms": round(ddm_ms, 1),
+              "cc_instancing_ms": round(cc_ms, 1),
+              "watershed_instancing_ms": round(ws_ms, 1)}
+    if flops:
+        ledger["forward_gflops"] = round(flops / 1e9, 1)
+        ledger["mfu_forward_bf16"] = round(mfu, 4)
+    print(f"[stages] {ledger}", file=sys.stderr)
+    return ledger
+
+
+def bench_hrnet(cfg_base, img, floor_s):
+    """Throughput for the CDNet paper flagship HRNet18_rev1
+    (seg_hrnet_rev1.py:289-568) through the same TTA8+DDM+CC pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from cdnet_tpu.config import Config
+    from cdnet_tpu.infer import build_pipeline
+    from cdnet_tpu.models import choose_model
+
+    cfg = Config()
+    cfg.model.model_name = "HRNet18_rev1"
+    cfg.test.tta = True
+    cfg.test.all_img_test = 1
+    cfg.post.postproc = 0
+    global CKPT
+    ckpt_main = CKPT
+    CKPT = ckpt_main.replace("bench_ckpt", "bench_ckpt_hrnet")
+    try:
+        model = choose_model(cfg)
+        variables = get_trained_variables(cfg, model)
+        pipeline = build_pipeline(model, variables, cfg, img.shape[:2])
+        pip, ser, n = time_pipeline(pipeline, img, "hrnet", iters=6)
+        return {"hrnet_tiles_per_sec": round(pip, 4),
+                "hrnet_serialized_tiles_per_sec": round(ser, 4)}
+    except Exception as e:  # noqa: BLE001 — report, don't sink the bench
+        print(f"[hrnet] skipped: {type(e).__name__}: {e}", file=sys.stderr)
+        return {"hrnet_tiles_per_sec": 0.0}
+    finally:
+        CKPT = ckpt_main
+
+
+def mesh_scaling_subprocess():
+    """1-vs-8 virtual-CPU-mesh sanity number for the --use-mesh path
+    (VERDICT r2 item 9): the sharded program must run and agree. Executed in
+    a subprocess so the forced CPU platform doesn't disturb the TPU run.
+    Virtual devices share this box's single physical core, so the number
+    validates the SOFTWARE path (sharding compiles, executes, instances
+    match), not hardware scaling."""
+    import subprocess
+    code = r"""
+import os, sys, time, json
+import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(%r)))
+import jax, jax.numpy as jnp
+from cdnet_tpu.config import Config
+from cdnet_tpu.infer import build_pipeline
+from cdnet_tpu.models import choose_model
+from cdnet_tpu.parallel import make_mesh
+from cdnet_tpu.data.synthetic import synthetic_tile
+cfg = Config(); cfg.test.tta = True; cfg.test.all_img_test = 1
+cfg.model.compute_dtype = "float32"
+model = choose_model(cfg)
+x0 = jnp.zeros((1, 128, 128, 3), jnp.float32)
+variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+rng = np.random.RandomState(0)
+img = jnp.asarray(synthetic_tile(rng, 128)[0], jnp.float32) / 255.0
+imgs = jnp.stack([img] * 8)
+mesh = make_mesh()
+p1 = build_pipeline(model, variables, cfg, (128, 128), batch_tiles=8)
+pm = build_pipeline(model, variables, cfg, (128, 128), mesh=mesh,
+                    batch_tiles=8)
+def run(p):
+    r = p(imgs); jax.block_until_ready(r)
+    return np.asarray(r["pred"])
+a = run(p1); t0 = time.time(); run(p1); t_un = time.time() - t0
+b = run(pm); t0 = time.time(); run(pm); t_m = time.time() - t0
+print(json.dumps({"equal": bool((a == b).all()), "unsharded_s": t_un,
+                  "mesh8_s": t_m, "devices": len(jax.devices())}))
+""" % os.path.abspath(__file__)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
+                          " --xla_force_host_platform_device_count=8"))
+    try:
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=900)
+        line = out.stdout.strip().splitlines()[-1]
+        res = json.loads(line)
+        print(f"[mesh8] {res}", file=sys.stderr)
+        return {"mesh8_cpu_equal": res["equal"],
+                "mesh8_cpu_devices": res["devices"]}
+    except Exception as e:  # noqa: BLE001
+        print(f"[mesh8] skipped: {type(e).__name__}: {e}", file=sys.stderr)
+        return {}
+
+
 def main():
     import jax
     # persistent compile cache: the full pipeline takes minutes to compile
@@ -166,10 +360,15 @@ def main():
     img8, _, _ = synthetic_tile(rng, size, n_nuclei=(160, 200))
     img = jnp.asarray(img8, jnp.float32) / 255.0
 
+    floor_s = measure_dispatch_floor()
+    print(f"dispatch floor: {floor_s * 1e3:.1f} ms", file=sys.stderr)
+
     # reference-default path: postproc=0 -> CC instancing (options.py:151)
     cfg.post.postproc = 0
     cc_pipeline = build_pipeline(model, variables, cfg, (size, size))
     cc_pip, cc_ser, n_inst = time_pipeline(cc_pipeline, img, "cc")
+
+    ledger = stage_timings(model, variables, cfg, img, floor_s)
 
     # postproc=1 -> marker watershed (postproc_other.py:15-99)
     cfg.post.postproc = 1
@@ -200,6 +399,9 @@ def main():
     except Exception as e:  # noqa: BLE001 - OOM/compile fallback is reported
         print(f"[batch2] skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    hrnet = bench_hrnet(cfg, img, floor_s)
+    mesh = mesh_scaling_subprocess()
+
     print(json.dumps({
         "metric": "cdnet_e2e_infer_1000px_tta8_ddm_postproc",
         "value": round(cc_pip, 4),
@@ -211,6 +413,9 @@ def main():
         "watershed_serialized_tiles_per_sec": round(ws_ser, 4),
         "cc_batch2_tiles_per_sec": round(batch2, 4),
         "instances": n_inst,
+        "dispatch_floor_ms": round(floor_s * 1e3, 1),
+        "stage_ms": ledger,
+        **hrnet, **mesh,
     }))
 
 

@@ -73,7 +73,14 @@ class DataFolder:
         if not self.img_list:
             raise RuntimeError(f"no images paired under {dir_list}")
         self.data_transform = data_transform
-        self.num_channels = num_channels
+        # per-directory channel counts, like the reference's
+        # num_channels=[3, 1, 3] (train.py:283: image RGB, weight map GRAY,
+        # label 3-channel); a scalar applies to the image with weight=1,
+        # label=3 defaults
+        if isinstance(num_channels, int):
+            num_channels = [num_channels, 1, 3][:len(dir_list)]
+        assert len(num_channels) == len(dir_list), "one channel count per dir"
+        self.num_channels = list(num_channels)
         self.max_retries = max_retries
 
     def __len__(self):
@@ -81,7 +88,8 @@ class DataFolder:
 
     def __getitem__(self, index):
         paths = self.img_list[index]
-        sample = tuple(img_loader(p, self.num_channels) for p in paths)
+        sample = tuple(img_loader(p, c)
+                       for p, c in zip(paths, self.num_channels))
         if self.data_transform is None:
             return sample
         # empty-crop retry guard (data_folder.py:103-105): retry while the

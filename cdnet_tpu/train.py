@@ -107,7 +107,10 @@ def batches_of(dataset, batch_size: int, rng: np.random.RandomState,
         for img, wmap, inst in samples:
             imgs.append(np.asarray(img, np.float32))
             weights.append(np.asarray(wmap, np.float32))
-            insts.append(np.asarray(inst, np.int32))
+            inst = np.asarray(inst)
+            if inst.ndim == 3:  # 3-channel label PNG: ids live in channel 0
+                inst = inst[..., 0]  # (my_transforms_direction.py:718)
+            insts.append(inst.astype(np.int32))
         yield {"image": np.stack(imgs), "weight": np.stack(weights),
                "instance": np.stack(insts)}
 

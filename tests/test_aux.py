@@ -219,6 +219,33 @@ class TestExperimentCSV:
         assert len(rows) == 2 and rows[1]["t2_Dice"] == "0.85"
 
 
+class TestDataFolderChannels:
+    def test_per_dir_channel_counts(self, tmp_path):
+        """Reference DataFolder takes num_channels PER DIRECTORY
+        (train.py:283: [3, 1, 3] — weight maps load GRAY, not RGB); loading
+        the weight PNG as 3 channels broke the loss broadcast in the race
+        driver."""
+        from PIL import Image
+
+        from cdnet_tpu.data.dataset import DataFolder
+        for d in ("img", "w", "lab"):
+            (tmp_path / d).mkdir()
+        rng = np.random.RandomState(0)
+        Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(
+            tmp_path / "img" / "a.png")
+        Image.fromarray((rng.rand(16, 16) * 255).astype(np.uint8)).save(
+            tmp_path / "w" / "a_weight.png")
+        np.save(tmp_path / "lab" / "a_label.npy",
+                np.ones((16, 16), np.int32))
+        ds = DataFolder([str(tmp_path / "img"), str(tmp_path / "w"),
+                         str(tmp_path / "lab")],
+                        ["weight.png", "label.npy"], num_channels=3)
+        img, wmap, lab = ds[0]
+        assert np.asarray(img).shape == (16, 16, 3)
+        assert np.asarray(wmap).shape == (16, 16)  # GRAY, not RGB
+        assert np.asarray(lab).shape == (16, 16)
+
+
 class TestDcmVotingMode:
     def test_consensus(self):
         d = np.zeros((8, 4, 4), np.int32)
