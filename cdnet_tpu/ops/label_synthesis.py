@@ -81,13 +81,15 @@ def resplit_instances(inside_mask: jnp.ndarray, min_size: int = 5,
     """
     mask = inside_mask.astype(bool)
     lab, _ = cc_label(mask, connectivity=1)
-    dist = (255.0 * normalized_instance_edt(lab)).astype(jnp.uint8)
+    dist_f = 255.0 * normalized_instance_edt(lab)
+    dist = dist_f.astype(jnp.uint8)  # markers: reference uint8 threshold
     marker = dist > 125
     marker = binary_fill_holes(marker)
     marker = _binary_erosion_scipy(marker)
     mlab, _ = cc_label(marker, connectivity=1)
     mlab = remove_small_objects(mlab, min_size)
-    ws = watershed(dist, mlab, mask)
+    # flood on the unquantized distance (plateau-tie parity; see watershed.py)
+    ws = watershed(dist_f, mlab, mask)
     ws = remove_small_objects(ws, min_size)
     return ws
 

@@ -71,13 +71,18 @@ def instances_from_pred(pred: jnp.ndarray, min_area: int = 20, radius: int = 2,
         # postproc_other.process(pred_inside*255, ws=True): note the reference
         # feeds the PRE-fill inside mask here (test_dam.py:557)
         lab, _ = cc_label(pred_inside, connectivity=1)
-        dist = (255.0 * normalized_instance_edt(lab)).astype(jnp.uint8)
+        dist_f = 255.0 * normalized_instance_edt(lab)
+        # markers use the reference's uint8 threshold (postproc_other.py:41);
+        # the flood itself gets the UNquantized distance — sub-level
+        # resolution dissolves quantization plateaus (FIFO-tie parity in
+        # metric space, experiments/ws_divergence/RESULTS.md)
+        dist = dist_f.astype(jnp.uint8)
         marker = dist > 125
         marker = binary_fill_holes(marker)
         marker = _binary_erosion_scipy(marker)
         mlab, _ = cc_label(marker, connectivity=1)
         mlab = remove_small_objects(mlab, ws_min_size)
-        labels = watershed(dist, mlab, pred_inside)
+        labels = watershed(dist_f, mlab, pred_inside)
         labels = remove_small_objects(labels, ws_min_size)
     else:
         labels, _ = cc_label(pred2, connectivity=2)

@@ -8,19 +8,29 @@ Design: the image-foresting-transform (IFT) characterization of marker
 watershed — a pixel belongs to the marker reachable by the path maximizing
 the minimum ``dist`` along the path (the minimax/bottleneck metric; flooding
 in decreasing ``dist`` order computes exactly this assignment, up to
-tie-breaking). The (bottleneck value, label) pair packs into ONE int32 key
-(``value << 16 | label``) so the whole flood is a single ``lax.while_loop``
-fixpoint of 4-neighbor max-min relaxations: per iteration one vectorized pass,
-converging in O(region diameter) iterations. The previous rising-level design
-needed 256 levels x a BFS fixpoint each (512+ sequential passes; measured
-~65 ms per 8x256^2 batch vs ~6 ms for this formulation).
+tie-breaking). The flood is a single ``lax.while_loop`` fixpoint of
+4-neighbor max-min relaxations over a (value f32, label i32) pair, with
+segmented line scans as a long-range accelerator: per iteration one
+vectorized pass, converging in O(region diameter) iterations. (An earlier
+rising-level design needed 256 levels x a BFS fixpoint each — 512+
+sequential passes, ~65 ms per 8x256^2 batch vs ~6 ms for the minimax
+formulation.)
 
-Tie-breaking: skimage floods FIFO within an equal-``dist`` plateau; here ties
-in bottleneck value resolve deterministically to the larger label id (the max
-over packed keys). Watershed lines therefore match up to plateau boundaries —
-sub-pixel-scale differences the dilation step after post-processing absorbs
-(tests/test_label_ops.py::TestWatershed pins >95% agreement with a verbatim
-priority-flood oracle).
+Tie-breaking: skimage floods FIFO within an equal-``dist`` plateau. Round 2
+packed (uint8 level, label) into one int32 and resolved plateau ties to the
+larger label — metrically measurable on dense tiles (AJI up to -0.021 vs
+the FIFO oracle, experiments/ws_divergence round-2 sweep) because uint8
+quantization makes plateaus LARGE and max-label hands each plateau wholly to
+one side. This version floods with a hop-penalized cost (see :func:`watershed`):
+inside an equal-level plateau the cost is pure geodesic hop count —
+skimage's FIFO/BFS split — and through the full postproc=1 pipeline the
+device watershed now matches or BEATS the FIFO oracle on every swept dense
+tile (min dAJI +0.0003, experiments/ws_divergence/RESULTS.md). Exact
+remaining ties (rare; symmetric geometry) resolve to the larger label.
+
+Labels are carried in their own int32 plane — no packed-key bit budget, so
+any marker count is safe (the round-2 advisor flagged the 16-bit packed
+limit).
 """
 from __future__ import annotations
 
@@ -30,93 +40,106 @@ import jax.numpy as jnp
 from cdnet_tpu.ops.morphology import shifted_views
 
 _OFFS_4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
-# the packed int32 key gives dist its minimal high bits and labels the rest:
-# with the default num_levels=256 that is 23 label bits (8.4M ids). Marker
-# ids come from connected-component labeling, and every surviving component
-# holds >= min_size (5) pixels after remove_small_objects, so even a
-# 4096x4096 whole-slide mask yields < 2^22 ids — 16 bits (the round-2
-# constant) could overflow there (advisor finding), 23 cannot.
-_LABEL_BITS = 23
-_LABEL_MASK = (1 << _LABEL_BITS) - 1
+_NEG = jnp.float32(-3e38)
 
 
 def watershed(dist: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
-              num_levels: int = 256) -> jnp.ndarray:
+              hop_penalty: float = 1.0 / 4096.0) -> jnp.ndarray:
     """Flood ``markers`` over ``mask`` in decreasing order of ``dist``.
 
     Equivalent to skimage ``watershed(-dist, markers, mask=mask)`` with
-    4-connectivity (skimage default connectivity=1). ``dist`` is quantized
-    to integer levels in [0, num_levels); labels must fit in the remaining
-    ``_LABEL_BITS`` of the int32 key (see module constant above).
+    4-connectivity (skimage default connectivity=1).
+
+    Path cost: ``min(dist along path) - hop_penalty * path_length``,
+    maximized lexicographically with the label as the final tie-break.
+    The hop term is the FIFO surrogate: with integer/uint8 ``dist`` levels
+    and ``hop_penalty * diameter < 1`` it never overrides a level
+    difference, while inside an equal-level plateau the cost reduces to
+    pure geodesic hop count — exactly skimage's BFS plateau split. Pure
+    minimax (no hop term) is degenerate here: every pixel whose own dist is
+    below its basin's connecting saddle has EQUAL bottleneck from several
+    markers, so tie mass covers whole boundary bands, and any static
+    tie-break loses ~0.01-0.02 AJI on dense tiles
+    (experiments/ws_divergence/RESULTS.md).
+
+    The per-segment transfer ``v -> min(v, a) - b`` composes in closed form
+    (a' = min(a1, a2 + b1), b' = b1 + b2), so the hop-penalized flood stays
+    a pair of associative line scans + a 4-neighbor relaxation inside one
+    ``lax.while_loop``.
     """
-    assert num_levels <= 1 << (31 - _LABEL_BITS), \
-        f"num_levels={num_levels} overflows the packed int32 key"
     mask = mask.astype(bool)
     markers = jnp.where(mask, markers.astype(jnp.int32), 0)
-    dist = jnp.clip(jnp.asarray(dist), 0, num_levels - 1).astype(jnp.int32)
+    dist = jnp.asarray(dist).astype(jnp.float32)
+    mu = jnp.float32(hop_penalty)
 
     is_marker = markers > 0
-    key = jnp.where(is_marker, (dist << _LABEL_BITS) | markers, 0)
+    val = jnp.where(is_marker, dist, _NEG)
+    lab = markers
     grow = mask & ~is_marker
 
-    # Per-pixel transmission capacity for the line scans: a path continuing
-    # THROUGH a pixel is capped by its dist; marker and non-mask pixels block
-    # transmission (markers emit their own key but a foreign flood cannot pass
-    # over an already-labeled seed — skimage pre-labels marker pixels).
-    _BLOCK = jnp.int32(-(2 ** 30))
-    cap_m = jnp.where(grow, dist, _BLOCK)
+    # Per-pixel transmission cap for the line scans: a path continuing
+    # THROUGH a pixel is capped by its dist; marker and non-mask pixels
+    # block transmission (markers emit their own value but a foreign flood
+    # cannot pass over an already-labeled seed — skimage pre-labels marker
+    # pixels).
+    cap_m = jnp.where(grow, dist, _NEG)
 
-    def _cap(b, m):
-        # cap a key's bottleneck value by capacity m (clamped so the packed
-        # int32 can't overflow; any capped-negative key loses every max)
-        val = jnp.maximum(jnp.minimum(b >> _LABEL_BITS, m), -1)
-        return (val << _LABEL_BITS) | (b & _LABEL_MASK)
+    def _better(av, al, bv, bl):
+        """Lexicographic (value, label) max — label breaks exact-value ties."""
+        take_b = (bv > av) | ((bv == av) & (bl > al))
+        return jnp.where(take_b, bv, av), jnp.where(take_b, bl, al)
 
     def _line_op(a, b):
-        """Associative bottleneck-path propagation along a line segment.
+        """Associative hop-penalized bottleneck propagation along a segment.
 
-        State (best, m): ``best`` = strongest key emitted at the segment's
-        right end, ``m`` = min transmission capacity across the segment."""
-        ab, am = a
-        bb, bm = b
-        return jnp.maximum(bb, _cap(ab, bm)), jnp.minimum(am, bm)
+        State ((val, lab), (a, b)): strongest (value, label) emitted at the
+        segment's right end, and the segment's transfer function
+        ``v -> min(v, a) - b``."""
+        (av, al), (aa, ab) = a
+        (bv, bl), (ba, bb) = b
+        v, l = _better(jnp.minimum(av, ba) - bb, al, bv, bl)
+        return (v, l), (jnp.minimum(aa, ba + ab), ab + bb)
 
-    def _scan_axis(k, axis):
+    def _scan_axis(v, l, axis):
         # non-minor axes transpose minor-first (TPU scans along a non-minor
         # axis pay per-stage relayouts; see connected._segmented_min_scan)
-        if axis != k.ndim - 1:
-            cm = jnp.swapaxes(cap_m, axis, -1)
-            kt = jnp.swapaxes(k, axis, -1)
-            fwd, _ = jax.lax.associative_scan(_line_op, (kt, cm), axis=kt.ndim - 1)
-            bwd, _ = jax.lax.associative_scan(_line_op, (kt, cm),
-                                              axis=kt.ndim - 1, reverse=True)
-            return jnp.swapaxes(jnp.maximum(fwd, bwd), axis, -1)
-        fwd, _ = jax.lax.associative_scan(_line_op, (k, cap_m), axis=axis)
-        bwd, _ = jax.lax.associative_scan(_line_op, (k, cap_m), axis=axis,
-                                          reverse=True)
-        return jnp.maximum(fwd, bwd)
+        t = axis != v.ndim - 1
+        cm = jnp.swapaxes(cap_m, axis, -1) if t else cap_m
+        vt = jnp.swapaxes(v, axis, -1) if t else v
+        lt = jnp.swapaxes(l, axis, -1) if t else l
+        seg = ((vt, lt), (cm, jnp.full_like(cm, mu)))
+        (fv, fl), _ = jax.lax.associative_scan(_line_op, seg, axis=vt.ndim - 1)
+        (bv, bl), _ = jax.lax.associative_scan(_line_op, seg, axis=vt.ndim - 1,
+                                               reverse=True)
+        rv, rl = _better(fv, fl, bv, bl)
+        if t:
+            return jnp.swapaxes(rv, axis, -1), jnp.swapaxes(rl, axis, -1)
+        return rv, rl
 
     def cond(state):
-        _, changed = state
-        return changed
+        return state[2]
 
     def body(state):
-        k, _ = state
-        # long-range: segmented bottleneck scans along rows then columns
-        # (valid path keys only -> sound accelerator; the unique supremum
+        v, l, _ = state
+        # long-range: segmented hop-penalized scans along rows then columns
+        # (valid path costs only -> sound accelerator; the unique supremum
         # fixpoint is unchanged, convergence drops from O(diameter) sweeps
         # to a handful)
-        best = jnp.maximum(_scan_axis(k, 1), _scan_axis(k, 0))
+        rv, rl = _scan_axis(v, l, 1)
+        cv, cl = _scan_axis(v, l, 0)
+        bv, bl = _better(rv, rl, cv, cl)
         # local: 4-neighbor relaxation stitches rows and columns together
-        for _, view in shifted_views(best, _OFFS_4, 0):
-            # neighbor's bottleneck value capped by my own dist, keeping the
-            # neighbor's label; unlabeled neighbors (label 0) contribute 0
-            val = jnp.minimum(view >> _LABEL_BITS, dist)
-            cand = (val << _LABEL_BITS) | (view & _LABEL_MASK)
-            best = jnp.maximum(best, jnp.where((view & _LABEL_MASK) > 0,
-                                               cand, 0))
-        new = jnp.where(grow, jnp.maximum(k, best), k)
-        return new, jnp.any(new != k)
+        views = list(shifted_views(bv, _OFFS_4, _NEG))
+        lviews = list(shifted_views(bl, _OFFS_4, 0))
+        for (_, nv), (_, nl) in zip(views, lviews):
+            cand_v = jnp.minimum(nv, dist) - mu
+            has = nl > 0
+            bv, bl = _better(bv, bl, jnp.where(has, cand_v, _NEG), nl)
+        nv2, nl2 = _better(v, l, jnp.where(grow, bv, _NEG),
+                           jnp.where(grow, bl, 0))
+        changed = jnp.any((nv2 != v) | (nl2 != l))
+        return nv2, nl2, changed
 
-    key, _ = jax.lax.while_loop(cond, body, (key, jnp.array(True)))
-    return jnp.where(mask, key & _LABEL_MASK, 0)
+    val, lab, _ = jax.lax.while_loop(cond, body,
+                                     (val, lab, jnp.array(True)))
+    return jnp.where(mask, lab, 0)

@@ -134,6 +134,16 @@ def init_state(cfg, model, sample_image, opt, rng_seed: int = 0,
                       opt_state=opt.init(params))
 
 
+def make_stopper(cfg) -> EarlyStopping | None:
+    """early_stop <= 0 disables early stopping entirely (reference
+    train.py:308,442 gates both construction and the per-epoch call on
+    early_stop > 0; EarlyStopping(patience=0) would instead stop at the
+    FIRST non-improving epoch past min_epoch — the round-3 race bug)."""
+    if cfg.train.early_stop > 0:
+        return EarlyStopping(patience=cfg.train.early_stop)
+    return None
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("--synthetic", type=int, default=0,
@@ -242,7 +252,7 @@ def main(argv=None):
     train_step = make_train_step(model, cfg, opt, ns.max_instances)
     eval_step = make_sliding_eval_step(model, cfg, ns.max_instances,
                                        return_pred=ns.do_object_metric)
-    stopper = EarlyStopping(patience=cfg.train.early_stop)
+    stopper = make_stopper(cfg)
 
     best_iou = 0.0
     metric_keys = None
@@ -325,7 +335,7 @@ def main(argv=None):
         logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s  "
                     f"loss={val_avg.get('loss', 0):.4f} iou={iou:.4f} "
                     f"F1={f1:.4f} best_iou={best_iou:.4f}")
-        if stopper(-(f1 + iou), epoch):
+        if stopper is not None and stopper(-(f1 + iou), epoch):
             logger.info("early stopping")
             break
     logger.info("training complete")

@@ -208,3 +208,47 @@ class TestWatershed:
         got = np.asarray(watershed.watershed(dist, markers, mask))
         assert set(np.unique(got)) == {0, 3}
         assert (got == 3).sum() == mask.sum()
+
+    @pytest.mark.slow
+    def test_metric_space_vs_fifo_oracle(self):
+        """Regression for the round-2 plateau-tie loss: through the FULL
+        postproc=1 pipeline on a dense tile, the hop-penalized device
+        watershed must not score below the skimage-FIFO oracle by more than
+        0.002 AJI (experiments/ws_divergence/RESULTS.md sweeps 5 seeds; this
+        pins one)."""
+        import jax.numpy as jnp
+
+        import reference_oracle as ro
+        ro.install()
+        from cdnet_tpu.data.synthetic import synthetic_tile
+        from cdnet_tpu.metrics import get_fast_aji
+        from cdnet_tpu.metrics.objects import label_equal_values
+        from cdnet_tpu.ops.postproc import instances_from_pred
+
+        rng = np.random.RandomState(11)
+        _, inst, _ = synthetic_tile(rng, 256, (40, 70))
+        pred_inside = inst > 0
+
+        dev_lab = np.asarray(instances_from_pred(
+            jnp.asarray(pred_inside.astype(np.int32)), min_area=20, radius=2,
+            use_watershed=True)[0])
+
+        lab, _ = ndi.label(pred_inside, ndi.generate_binary_structure(2, 1))
+        dist = np.zeros(pred_inside.shape, np.float64)
+        for k in range(1, lab.max() + 1):
+            m = lab == k
+            d = ndi.distance_transform_edt(m)
+            if d.max() > 0:
+                dist[m] = d[m] / d.max()
+        dist8 = (255.0 * dist).astype(np.uint8)
+        marker = ndi.binary_erosion(ndi.binary_fill_holes(dist8 > 125))
+        mlab, _ = ndi.label(marker, ndi.generate_binary_structure(2, 1))
+        mlab = ro.remove_small_objects(mlab.astype(np.int64), 10)
+        ws = ro.watershed(-dist8.astype(np.float64), mlab, mask=pred_inside)
+        ws = ro.remove_small_objects(ws, 10)
+        orc_lab = ro.dilation(ws.astype(np.int32), ro.disk(2))
+
+        gt = label_equal_values(inst)
+        dev_aji = get_fast_aji(gt, label_equal_values(dev_lab))[0]
+        orc_aji = get_fast_aji(gt, label_equal_values(orc_lab))[0]
+        assert dev_aji >= orc_aji - 0.002, (dev_aji, orc_aji)

@@ -79,3 +79,18 @@ def test_validation_evaluates_held_out_tiles(tmp_path, monkeypatch):
     for img in eval_images:
         assert not any(np.array_equal(img[0], t) for t in train_imgs), \
             "validation evaluated a training tile"
+
+
+def test_early_stop_zero_disables_stopper():
+    """early_stop=0 must DISABLE early stopping (reference train.py:308,442
+    gates on early_stop > 0). The round-3 race run regressed: patience=0
+    stopped at the first non-improving epoch past min_epoch=100."""
+    cfg = Config()
+    cfg.train.early_stop = 0
+    assert T.make_stopper(cfg) is None
+
+    cfg.train.early_stop = 7
+    stopper = T.make_stopper(cfg)
+    assert stopper is not None
+    # patience=7 never fires on 6 flat epochs past min_epoch
+    assert not any(stopper(1.0, epoch=100 + i) for i in range(7))
