@@ -231,8 +231,7 @@ def save_artifacts(save_dir: str, name: str, res: dict):
     from PIL import Image
     os.makedirs(save_dir, exist_ok=True)
     inst = np.asarray(res["instances"]).astype(np.uint16)
-    Image.fromarray(inst, mode="I;16").save(
-        os.path.join(save_dir, f"{name}_seg.tiff"))
+    Image.fromarray(inst).save(os.path.join(save_dir, f"{name}_seg.tiff"))
     prob = np.asarray(res["prob"])
     Image.fromarray((prob[..., 1] * 255).astype(np.uint8)).save(
         os.path.join(save_dir, f"{name}_prob_inside.png"))

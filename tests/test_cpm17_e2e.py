@@ -50,7 +50,10 @@ def _make_cpm17(root):
     return data
 
 
-def test_cpm17_mat_train_infer_metrics(tmp_path, capsys):
+def test_cpm17_mat_train_infer_metrics(tmp_path, capsys, monkeypatch):
+    # the drivers write experiments/logExl_<dataset>.csv relative to cwd
+    # (reference train.py:106-173 semantics) — keep that out of the repo tree
+    monkeypatch.chdir(tmp_path)
     data = _make_cpm17(str(tmp_path))
     save = str(tmp_path / "run_noNorm")  # _noNorm: no mean_std.npy fixture
     common = ["--dataset", "CPM17", "--data-dir", data,
