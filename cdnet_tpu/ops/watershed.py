@@ -121,13 +121,13 @@ def watershed(dist: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
 
     def body(state):
         v, l, _ = state
-        # long-range: segmented hop-penalized scans along rows then columns
-        # (valid path costs only -> sound accelerator; the unique supremum
-        # fixpoint is unchanged, convergence drops from O(diameter) sweeps
-        # to a handful)
+        # long-range: segmented hop-penalized scans along rows THEN columns,
+        # composed (the column scan consumes the row scan's output, so one
+        # iteration covers every staircase H-then-V path — valid path costs
+        # only -> sound accelerator; the unique supremum fixpoint is
+        # unchanged, convergence drops from O(diameter) sweeps to a handful)
         rv, rl = _scan_axis(v, l, 1)
-        cv, cl = _scan_axis(v, l, 0)
-        bv, bl = _better(rv, rl, cv, cl)
+        bv, bl = _scan_axis(rv, rl, 0)
         # local: 4-neighbor relaxation stitches rows and columns together
         views = list(shifted_views(bv, _OFFS_4, _NEG))
         lviews = list(shifted_views(bl, _OFFS_4, 0))
