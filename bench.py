@@ -173,6 +173,12 @@ def stage_timings(model, variables, cfg, img, floor_s: float) -> dict:
     from cdnet_tpu.ops.ddm import generate_dd_maps_batch
     from cdnet_tpu.ops.postproc import enhance_boundary_cf, instances_from_pred
 
+    # pin the variables on device ONCE (same trap build_pipeline documents:
+    # passing the numpy checkpoint tree to jit re-uploads all 82MB through
+    # the tunnel EVERY call — first ledger run measured forward_tta8 at
+    # 2062 ms when the fused e2e was 327 ms/tile, i.e. ~1.8 s of that was
+    # parameter re-upload, not forward compute)
+    variables = jax.device_put(variables)
     dc = cfg.model.direction_classes
     model_fn = make_model_fn(model)
 
@@ -208,15 +214,25 @@ def stage_timings(model, variables, cfg, img, floor_s: float) -> dict:
                                    radius=cfg.post.radius,
                                    use_watershed=True)[0]
 
-    def timed(fn, *args, fetch=jnp.max, iters=8):
-        out = fn(*args)
-        probe = jax.tree_util.tree_leaves(out)[0]
-        int(jax.device_get(fetch(probe)).astype(np.int32))  # compile+run
+    def timed(fn, *args, iters=8):
+        out = fn(*args)  # handoff value for the next stage (also compiles fn)
+
+        # Timing twin: reduce EVERY output leaf to one scalar INSIDE the jit
+        # program — one dispatch + one scalar fetch per iteration, and no
+        # big-array output materialization. (The first ledger design fetched
+        # an eager jnp.max of a (3,8,1024,1024) output per call; together
+        # with the forced output relayouts that measured the 8-view forward
+        # at 531 ms when the FUSED end-to-end program — which contains the
+        # same forward as a subgraph — completes in ~296 ms.)
+        def reduced(*a):
+            leaves = jax.tree_util.tree_leaves(fn(*a))
+            return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
+        red = jax.jit(reduced)
+        float(jax.device_get(red(*args)))  # compile+run
         t0 = time.time()
         for _ in range(iters):
-            o = fn(*args)
-            p = jax.tree_util.tree_leaves(o)[0]
-            int(jax.device_get(fetch(p)).astype(np.int32))
+            float(jax.device_get(red(*args)))
         return max((time.time() - t0) / iters - floor_s, 0.0) * 1e3, out
 
     fwd_ms, fwd_out = timed(forward, variables, img)
@@ -249,6 +265,22 @@ def stage_timings(model, variables, cfg, img, floor_s: float) -> dict:
     return ledger
 
 
+# optional legs (HRNet row, virtual-mesh sanity) are skipped when the core
+# bench already consumed this much wall-clock — the headline JSON line must
+# print within the driver's budget even on a cold compile cache
+BUDGET_S = float(os.environ.get("CDNET_BENCH_BUDGET_S", "2400"))
+_T_START = time.time()
+
+
+def over_budget(leg: str) -> bool:
+    used = time.time() - _T_START
+    if used > BUDGET_S:
+        print(f"[{leg}] skipped: {used:.0f}s elapsed > budget {BUDGET_S:.0f}s "
+              f"(set CDNET_BENCH_BUDGET_S to raise)", file=sys.stderr)
+        return True
+    return False
+
+
 def bench_hrnet(cfg_base, img, floor_s):
     """Throughput for the CDNet paper flagship HRNet18_rev1
     (seg_hrnet_rev1.py:289-568) through the same TTA8+DDM+CC pipeline."""
@@ -266,6 +298,13 @@ def bench_hrnet(cfg_base, img, floor_s):
     global CKPT
     ckpt_main = CKPT
     CKPT = ckpt_main.replace("bench_ckpt", "bench_ckpt_hrnet")
+    # the HRNet smoke-train is ~30 min on this box (150 steps of the
+    # multi-branch trunk) — only affordable when its checkpoint is cached
+    if not os.path.exists(CKPT) and time.time() - _T_START > BUDGET_S / 2:
+        print("[hrnet] skipped: no cached checkpoint and not enough budget "
+              "left for its smoke-train", file=sys.stderr)
+        CKPT = ckpt_main
+        return {"hrnet_tiles_per_sec": 0.0}
     try:
         model = choose_model(cfg)
         variables = get_trained_variables(cfg, model)
@@ -301,14 +340,14 @@ from cdnet_tpu.data.synthetic import synthetic_tile
 cfg = Config(); cfg.test.tta = True; cfg.test.all_img_test = 1
 cfg.model.compute_dtype = "float32"
 model = choose_model(cfg)
-x0 = jnp.zeros((1, 128, 128, 3), jnp.float32)
+x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
 variables = model.init(jax.random.PRNGKey(0), x0, train=False)
 rng = np.random.RandomState(0)
-img = jnp.asarray(synthetic_tile(rng, 128)[0], jnp.float32) / 255.0
+img = jnp.asarray(synthetic_tile(rng, 64, (3, 7))[0], jnp.float32) / 255.0
 imgs = jnp.stack([img] * 8)
 mesh = make_mesh()
-p1 = build_pipeline(model, variables, cfg, (128, 128), batch_tiles=8)
-pm = build_pipeline(model, variables, cfg, (128, 128), mesh=mesh,
+p1 = build_pipeline(model, variables, cfg, (64, 64), batch_tiles=8)
+pm = build_pipeline(model, variables, cfg, (64, 64), mesh=mesh,
                     batch_tiles=8)
 def run(p):
     r = p(imgs); jax.block_until_ready(r)
@@ -399,8 +438,8 @@ def main():
     except Exception as e:  # noqa: BLE001 - OOM/compile fallback is reported
         print(f"[batch2] skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
-    hrnet = bench_hrnet(cfg, img, floor_s)
-    mesh = mesh_scaling_subprocess()
+    hrnet = {} if over_budget("hrnet") else bench_hrnet(cfg, img, floor_s)
+    mesh = {} if over_budget("mesh8") else mesh_scaling_subprocess()
 
     print(json.dumps({
         "metric": "cdnet_e2e_infer_1000px_tta8_ddm_postproc",

@@ -40,6 +40,12 @@ import pytest
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: compile-heavy test (deselect with -m 'not slow')")
+    config.addinivalue_line(
+        "markers", "slowtrain: multi-step training-loop test — the runtime-"
+        "dominated third of the slow gate (run with -m slowtrain)")
+    config.addinivalue_line(
+        "markers", "slowzoo: full-model-zoo init/forward contract test — the "
+        "trace-dominated third of the slow gate (run with -m slowzoo)")
     if os.environ.get("CDNET_TEST_REEXEC") != "1":
         # sitecustomize imported jax at startup of THIS interpreter, so the
         # env above came too late: re-exec pytest. Restore the real stdout/

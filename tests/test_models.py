@@ -31,6 +31,7 @@ def cfg_for(name):
 
 
 @pytest.mark.slow
+@pytest.mark.slowzoo
 class TestHeads:
     def test_unet_single_head(self):
         model = choose_model(cfg_for("UNet"))
@@ -111,6 +112,7 @@ class TestParams:
 
 
 @pytest.mark.slow
+@pytest.mark.slowzoo
 class TestExtendedZoo:
     @pytest.mark.parametrize("name", ["UNet_resnet50", "SegNet", "PSPNet",
                                       "DeepLab", "FCN8", "HRNet18"])

@@ -86,6 +86,7 @@ class TestDataParallel:
         assert n_bad / n_total < 0.01, (n_bad, n_total)
 
     @pytest.mark.slow
+    @pytest.mark.slowtrain
     def test_loss_decreases_over_steps(self):
         cfg = tiny_cfg()
         model = choose_model(cfg)

@@ -86,6 +86,7 @@ class TestLabelEncodingParity:
         assert mism.mean() < 0.005, f"{mism.sum()} direction px differ"
 
     @pytest.mark.slow
+    @pytest.mark.slowtrain
     def test_more_instances_than_chunk(self):
         """> max_instances ids in one tile (round-2 VERDICT Missing #4): the
         chunked while_loop must cover EVERY instance — the old code silently

@@ -14,6 +14,8 @@ from cdnet_tpu.config import Config
 def _args(tmp_path, extra=()):
     # batch 8 = the test mesh's device count (conftest forces 8 virtual CPU
     # devices; the driver shards the batch over them)
+    # input 64 == the synthetic val tile size, so the sliding eval is a
+    # single whole-tile forward (32 made it a 3x3 tile grid — slower)
     return ["--synthetic", "16", "--model-name", "UNet", "--direction", "0",
             "--mseloss", "0", "--epochs", "1", "--batch-size", "8",
             "--input-size", "64", "--save-dir", str(tmp_path / "run"),
@@ -36,6 +38,7 @@ def test_val_dataset_disjoint_from_train():
 
 
 @pytest.mark.slow
+@pytest.mark.slowtrain
 def test_driver_passes_real_steps_per_epoch(tmp_path, monkeypatch):
     """train.py must call get_optimizer with len(dataset)//batch_size — the
     round-2 bug was the default steps_per_epoch=1 making epoch schedulers
@@ -53,6 +56,7 @@ def test_driver_passes_real_steps_per_epoch(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+@pytest.mark.slowtrain
 def test_validation_evaluates_held_out_tiles(tmp_path, monkeypatch):
     """validation=1: the driver's eval step must consume val-dataset tiles
     (never train tiles) and drive the plateau tracker with the val loss."""

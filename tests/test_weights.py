@@ -14,7 +14,7 @@ from cdnet_tpu.models.weights import (graft_backbone, import_resnet,
 torch = pytest.importorskip("torch")
 
 # torch-eval + flax forward parity at real backbone width: compile-heavy
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.slowzoo]
 
 
 def fake_vgg16_bn_sd(rng):
