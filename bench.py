@@ -155,16 +155,25 @@ def measure_dispatch_floor():
     return (time.time() - t0) / 10
 
 
-def stage_timings(model, variables, cfg, img, floor_s: float) -> dict:
+def stage_timings(model, variables, cfg, img, floor_s: float,
+                  e2e_serialized_tps: float = 0.0) -> dict:
     """Per-stage device-time ledger (VERDICT r2 Missing #5).
 
-    The full pipeline is ONE fused jit program, so stages are re-measured as
-    standalone jit programs over the same tensors: (1) 8-view TTA forward,
-    (2) DDM generation + fusion + boundary enhancement + argmax,
-    (3) CC instancing, (4) watershed instancing. Each is timed serialized
-    (scalar fetch per run) minus the dispatch floor. Stage programs re-do a
-    little glue the fused program shares, so the sum slightly OVERestimates
-    the fused end-to-end time — good enough to locate the dominant stage.
+    The post-proc stages (DDM+enhancement, CC, watershed) are measured as
+    standalone jit programs over the same tensors, serialized (one in-jit
+    reduced scalar fetch per run) minus the dispatch floor; their standalone
+    times are consistent with the fused pipeline's CC-vs-watershed delta.
+
+    The 8-view forward is NOT honestly measurable standalone: the identical
+    forward graph compiled as its own program runs ~470-530 ms while the
+    fused pipeline CONTAINING it completes in ~324 ms (verified with
+    identical in-jit-reduction methodology, pipelined == serialized, so it
+    is a compile-time difference, not a measurement artifact — see
+    experiments/PERF.md §5). The ledger therefore reports
+      forward_tta8_ms = fused_e2e_ms - cc_ms - ddm_ms   (in-context), and
+      forward_standalone_ms                              (the receipt).
+    MFU uses the in-context figure. Roofline lower bound for the same
+    forward: 69 ms (experiments/roofline.py).
     """
     import jax
     import jax.numpy as jnp
@@ -235,11 +244,18 @@ def stage_timings(model, variables, cfg, img, floor_s: float) -> dict:
             float(jax.device_get(red(*args)))
         return max((time.time() - t0) / iters - floor_s, 0.0) * 1e3, out
 
-    fwd_ms, fwd_out = timed(forward, variables, img)
+    fwd_alone_ms, fwd_out = timed(forward, variables, img)
     ddm_ms, pred = timed(ddm_enhance, fwd_out["prob"], fwd_out["point"],
                          fwd_out["dcls"])
     cc_ms, _ = timed(cc_stage, pred)
     ws_ms, _ = timed(ws_stage, pred)
+
+    # in-context forward = fused e2e minus the post-proc stages (PERF.md §2)
+    fwd_ms = fwd_alone_ms
+    e2e_ms = 0.0
+    if e2e_serialized_tps > 0:
+        e2e_ms = max(1e3 / e2e_serialized_tps - floor_s * 1e3, 0.0)
+        fwd_ms = max(e2e_ms - cc_ms - ddm_ms, 0.0)
 
     # forward FLOPs -> MFU: XLA's own cost analysis of the compiled 8-view
     # forward; peak = 197 TFLOP/s bf16 on TPU v5e (v5 lite) per chip
@@ -249,18 +265,34 @@ def stage_timings(model, variables, cfg, img, floor_s: float) -> dict:
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) if cost else 0.0
-        if flops:
+        if flops and fwd_ms:
             mfu = (flops / (fwd_ms / 1e3)) / 197e12
     except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
         print(f"[stages] cost_analysis unavailable: {e}", file=sys.stderr)
 
-    ledger = {"forward_tta8_ms": round(fwd_ms, 1),
+    ledger = {"fused_e2e_ms": round(e2e_ms, 1),
+              "forward_tta8_ms": round(fwd_ms, 1),
+              "forward_standalone_ms": round(fwd_alone_ms, 1),
               "ddm_enhance_ms": round(ddm_ms, 1),
               "cc_instancing_ms": round(cc_ms, 1),
               "watershed_instancing_ms": round(ws_ms, 1)}
     if flops:
         ledger["forward_gflops"] = round(flops / 1e9, 1)
-        ledger["mfu_forward_bf16"] = round(mfu, 4)
+        if mfu:
+            ledger["mfu_forward_bf16"] = round(mfu, 4)
+    try:
+        # analytic speed-of-light for THIS model/shape (abstract trace only)
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "cdnet_roofline", os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "experiments", "roofline.py"))
+        rl = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(rl)
+        sol = rl.analyze(forward, variables, img)
+        ledger["forward_roofline_sol_ms"] = round(sol["sol_ms"], 1)
+    except Exception as e:  # noqa: BLE001 — SOL is best-effort reporting
+        print(f"[stages] roofline unavailable: {e}", file=sys.stderr)
     print(f"[stages] {ledger}", file=sys.stderr)
     return ledger
 
@@ -281,9 +313,12 @@ def over_budget(leg: str) -> bool:
     return False
 
 
-def bench_hrnet(cfg_base, img, floor_s):
+def bench_hrnet(img):
     """Throughput for the CDNet paper flagship HRNet18_rev1
-    (seg_hrnet_rev1.py:289-568) through the same TTA8+DDM+CC pipeline."""
+    (seg_hrnet_rev1.py:289-568) through the same TTA8+DDM+CC pipeline.
+    Builds its own Config (fresh CC-path settings, independent of whatever
+    main() mutated); time_pipeline reports raw wall-clock like the main
+    rows, no floor subtraction."""
     import jax
     import jax.numpy as jnp
     from cdnet_tpu.config import Config
@@ -407,7 +442,8 @@ def main():
     cc_pipeline = build_pipeline(model, variables, cfg, (size, size))
     cc_pip, cc_ser, n_inst = time_pipeline(cc_pipeline, img, "cc")
 
-    ledger = stage_timings(model, variables, cfg, img, floor_s)
+    ledger = stage_timings(model, variables, cfg, img, floor_s,
+                           e2e_serialized_tps=cc_ser)
 
     # postproc=1 -> marker watershed (postproc_other.py:15-99)
     cfg.post.postproc = 1
@@ -438,7 +474,7 @@ def main():
     except Exception as e:  # noqa: BLE001 - OOM/compile fallback is reported
         print(f"[batch2] skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
-    hrnet = {} if over_budget("hrnet") else bench_hrnet(cfg, img, floor_s)
+    hrnet = {} if over_budget("hrnet") else bench_hrnet(img)
     mesh = {} if over_budget("mesh8") else mesh_scaling_subprocess()
 
     print(json.dumps({

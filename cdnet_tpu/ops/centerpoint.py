@@ -73,6 +73,29 @@ def centerness_map(labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(labels > 0, cent, 0.0)
 
 
+def centers_from_centerness(flat_l: jnp.ndarray, flat_c: jnp.ndarray,
+                            h: int, w: int, n: int, base=0):
+    """Winning pixel per instance id base+1..base+n from a flat centerness
+    field: argmax of centerness, ties broken to the FIRST raster-order pixel
+    (the reference's strictly-greater update, my_transforms_direction.py's
+    get_centerpoint2). Shared by :func:`instance_centers` and the chunked
+    label-synthesis loop (which sweeps base over id ranges inside a
+    while_loop with ONE precomputed centerness field)."""
+    rel = flat_l - base
+    in_r = (rel >= 1) & (rel <= n)
+    rel = jnp.where(in_r, rel, 0)
+    best = jnp.full(n + 1, -1.0, dtype=flat_c.dtype).at[rel].max(
+        jnp.where(in_r, flat_c, -1.0))
+    idx = jnp.arange(h * w, dtype=jnp.int32)
+    is_best = in_r & (flat_c == best[rel])
+    win = jnp.full(n + 1, jnp.int32(h * w)).at[
+        jnp.where(is_best, rel, 0)].min(jnp.where(is_best, idx, h * w))
+    win = win[1:]
+    valid = (best[1:] > -1.0) & (win < h * w)
+    centers = jnp.stack([win // w, win % w], axis=-1)
+    return jnp.where(valid[:, None], centers, 0), valid
+
+
 def instance_centers(labels: jnp.ndarray, max_instances: int):
     """Centers of instances 1..max_instances.
 
@@ -84,16 +107,5 @@ def instance_centers(labels: jnp.ndarray, max_instances: int):
     labels = jnp.asarray(labels, dtype=jnp.int32)
     h, w = labels.shape
     cent = centerness_map(labels)
-    flat_l = labels.reshape(-1)
-    flat_c = cent.reshape(-1)
-    n = max_instances + 1
-
-    best = jnp.full(n, -1.0, dtype=cent.dtype).at[flat_l].max(flat_c)
-    idx = jnp.arange(h * w, dtype=jnp.int32)
-    is_best = (flat_c == best[flat_l]) & (flat_l > 0)
-    win = jnp.full(n, jnp.int32(h * w)).at[
-        jnp.where(is_best, flat_l, 0)].min(jnp.where(is_best, idx, h * w))
-    win = win[1:]
-    valid = (best[1:] > -1.0) & (win < h * w)
-    centers = jnp.stack([win // w, win % w], axis=-1)
-    return jnp.where(valid[:, None], centers, 0), valid
+    return centers_from_centerness(labels.reshape(-1), cent.reshape(-1),
+                                   h, w, max_instances)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from cdnet_tpu.ops import geometry
+from cdnet_tpu.ops import centerpoint
 from cdnet_tpu.ops.centerpoint import centerness_map
 from cdnet_tpu.ops.connected import label as cc_label
 from cdnet_tpu.ops.edt import normalized_instance_edt
@@ -129,23 +130,13 @@ def direction_and_point(label_instance: jnp.ndarray, inside_mask: jnp.ndarray,
     iw = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     kbank = geometry.sobel_kernel(sobel_ksize)           # (k,k,1,2)
     pad = [(sobel_ksize // 2,) * 2] * 2
-    pix = jnp.arange(h * w, dtype=jnp.int32)
 
     def chunk_centers(base):
-        """instance_centers for ids base+1 .. base+n (cdnet_tpu.ops
-        .centerpoint semantics: first raster-order centerness maximum)."""
-        rel = flat_l - base
-        in_r = (rel >= 1) & (rel <= n)
-        rel = jnp.where(in_r, rel, 0)
-        best = jnp.full(n + 1, -1.0, cent.dtype).at[rel].max(
-            jnp.where(in_r, flat_c, -1.0))
-        is_best = in_r & (flat_c == best[rel])
-        win = jnp.full(n + 1, jnp.int32(h * w)).at[
-            jnp.where(is_best, rel, 0)].min(jnp.where(is_best, pix, h * w))
-        win = win[1:]
-        valid = (best[1:] > -1.0) & (win < h * w)
-        centers = jnp.stack([win // w, win % w], axis=-1)
-        return jnp.where(valid[:, None], centers, 0), valid
+        """instance_centers for ids base+1 .. base+n, reusing the one
+        precomputed centerness field (winner semantics live in
+        centerpoint.centers_from_centerness)."""
+        return centerpoint.centers_from_centerness(flat_l, flat_c, h, w, n,
+                                                   base)
 
     def chunk_body(carry):
         base, owner, gh, gw, point = carry

@@ -81,8 +81,13 @@ def watershed(dist: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
     # THROUGH a pixel is capped by its dist; marker and non-mask pixels
     # block transmission (markers emit their own value but a foreign flood
     # cannot pass over an already-labeled seed — skimage pre-labels marker
-    # pixels).
-    cap_m = jnp.where(grow, dist, _NEG)
+    # pixels). The blocked cap must be -inf, NOT _NEG: ``_NEG - mu`` rounds
+    # back to exactly ``_NEG`` in float32 (ulp at 3e38 >> mu), which TIES
+    # the unlabeled initial state (_NEG, 0) and the label tie-break then
+    # adopts the leaked label — a flood would cross barriers and claim
+    # markerless components that skimage leaves unlabeled. ``-inf`` stays
+    # -inf under the transfer and always loses to _NEG.
+    cap_m = jnp.where(grow, dist, -jnp.inf)
 
     def _better(av, al, bv, bl):
         """Lexicographic (value, label) max — label breaks exact-value ties."""

@@ -142,12 +142,13 @@ def make_sliding_eval_step(model, cfg, max_instances: int = 160,
     one tile (split_forward handles both)."""
     from cdnet_tpu.ops.sliding_window import split_forward
     size, overlap = cfg.train.input_size, cfg.train.val_overlap
-    if overlap >= size // 2:
-        # overlap >= tile stride is geometrically meaningless and produces a
-        # negative pad inside split_forward (e.g. the reference default
-        # val_overlap=40 combined with a small --input-size); clamp loudly
+    if overlap >= size:
+        # stride = size - overlap must stay positive; overlap >= size
+        # produces a negative pad inside split_forward (e.g. the reference
+        # default val_overlap=40 with --input-size 32). Any overlap < size
+        # is geometrically valid and passes through untouched.
         import warnings
-        warnings.warn(f"val_overlap={overlap} >= input_size//2={size // 2}; "
+        warnings.warn(f"val_overlap={overlap} >= input_size={size}; "
                       f"clamping to {size // 4}")
         overlap = size // 4
 

@@ -29,11 +29,12 @@ from cdnet_tpu.data.transforms import get_transforms
 from cdnet_tpu.models import choose_model
 from cdnet_tpu.optimizers import (PlateauTracker, get_optimizer,
                                   init_params_for, set_plateau_scale)
-from cdnet_tpu.parallel import (TrainState, make_eval_step, make_mesh,
+from cdnet_tpu.parallel import (TrainState, make_mesh,
                                 make_sliding_eval_step, make_train_step,
                                 replicate, shard_batch)
 from cdnet_tpu.utils import (AverageMeter, EarlyStopping, ExperimentCSV,
-                             load_checkpoint, save_checkpoint, setup_logging)
+                             load_checkpoint, load_meta, save_checkpoint,
+                             setup_logging)
 
 
 def build_dataset(cfg, synthetic: int = 0, label_postfix: str = "label.npy",
@@ -173,7 +174,7 @@ def main(argv=None):
     # the reference's full hyperparameter column block (train.py:106-173's
     # 84-column logExl head; metric columns are filled by the test driver)
     tf = set(cfg.train.trans_train)
-    ExperimentCSV(os.path.join("experiments", f"logExl_{cfg.dataset}.csv")).upsert(
+    ExperimentCSV(os.path.join("experiments", f"logExl_{cfg.dataset}.csv")).append(
         cfg.exp_filename(), {
             "dataset": cfg.dataset, "Model": cfg.model.model_name,
             "Epoch": cfg.train.num_epochs, "input_size": cfg.train.input_size,
@@ -241,11 +242,21 @@ def main(argv=None):
         logger.info(f"migrated reference checkpoint {ns.reference_checkpoint}")
 
     start_epoch = cfg.train.start_epoch
+    resume_meta = {}
     if cfg.train.checkpoint:
         restored, epoch = load_checkpoint(cfg.train.checkpoint,
                                           jax.device_get(state))
         state = jax.tree.map(jnp.asarray, restored)
         start_epoch = epoch
+        # host-side scheduler/selection state travels in the meta JSON (the
+        # reference's checkpoint dict carries best_iou + the torch
+        # optimizer's reduced lr, train.py:293-306); without this a resumed
+        # ReduceLROnPlateau run silently resets to the base learning rate
+        resume_meta = load_meta(cfg.train.checkpoint)
+        if plateau is not None and "plateau_best" in resume_meta:
+            plateau.best = resume_meta["plateau_best"]
+            plateau.num_bad = resume_meta["plateau_num_bad"]
+            plateau.scale = resume_meta["plateau_scale"]
         logger.info(f"resumed from {cfg.train.checkpoint} at epoch {epoch}")
 
     state = replicate(state, mesh)
@@ -254,7 +265,7 @@ def main(argv=None):
                                        return_pred=ns.do_object_metric)
     stopper = make_stopper(cfg)
 
-    best_iou = 0.0
+    best_iou = float(resume_meta.get("best_iou", 0.0))
     metric_keys = None
     for epoch in range(start_epoch, cfg.train.num_epochs):
         t0 = time.time()
@@ -282,9 +293,12 @@ def main(argv=None):
             obj_meter = AverageMeter(7)
             for vi in range(len(val_dataset)):
                 img, wmap, inst = val_dataset[vi]
+                inst = np.asarray(inst)
+                if inst.ndim == 3:  # 3-channel label PNG, ids in channel 0
+                    inst = inst[..., 0]  # same as batches_of above
                 batch = {"image": np.asarray(img, np.float32)[None],
                          "weight": np.asarray(wmap, np.float32)[None],
-                         "instance": np.asarray(inst, np.int32)[None]}
+                         "instance": inst.astype(np.int32)[None]}
                 if ns.do_object_metric:
                     vm, pred, mask3c = eval_step(state, batch)
                     # reference do_object_metric (train_util_dam.py:589-605):
@@ -328,8 +342,14 @@ def main(argv=None):
         f1 = val_avg.get("pixel_F1", 0.0)
         is_best = iou > best_iou
         best_iou = max(best_iou, iou)
+        extra_meta = {"best_iou": best_iou}
+        if plateau is not None:
+            extra_meta.update(plateau_best=plateau.best,
+                              plateau_num_bad=plateau.num_bad,
+                              plateau_scale=plateau.scale)
         save_checkpoint(ckpt_dir, jax.device_get(state), epoch, is_best,
-                        cfg.train.num_epochs, cfg.train.checkpoint_freq)
+                        cfg.train.num_epochs, cfg.train.checkpoint_freq,
+                        extra_meta=extra_meta)
         logger_results.info(
             f"{epoch}\t" + "\t".join(f"{val_avg[k]:.4f}" for k in metric_keys))
         logger.info(f"epoch {epoch} done in {time.time() - t0:.1f}s  "

@@ -23,18 +23,23 @@ def _paths(ckpt_dir: str, tag: str):
 
 def save_checkpoint(ckpt_dir: str, state: dict, epoch: int,
                     is_best: bool = False, num_epochs: int = 300,
-                    checkpoint_freq: int = 100) -> None:
+                    checkpoint_freq: int = 100,
+                    extra_meta: dict | None = None) -> None:
     """Reference save_checkpoint semantics (train.py:461-479).
 
     ``state``: pytree dict (params / batch_stats / opt_state / ...).
     Writes ``checkpoint.msgpack`` (+meta), a numbered copy in the last 10
     epochs when epoch > 40 or on checkpoint_freq multiples, and
-    ``checkpoint_best`` when ``is_best``.
+    ``checkpoint_best`` when ``is_best``. ``extra_meta``: host-side scalars
+    stored alongside ``epoch`` in the meta JSON — the reference checkpoints
+    best_iou/best_loss and the torch optimizer's reduced lr (train.py:
+    461-479); here that is best_iou + the ReduceLROnPlateau tracker state,
+    restored on resume via :func:`load_meta`.
     """
     os.makedirs(ckpt_dir, exist_ok=True)
     state = jax.device_get(state)
     blob = serialization.to_bytes(state)
-    meta = {"epoch": epoch}
+    meta = {"epoch": epoch, **(extra_meta or {})}
     path = os.path.join(ckpt_dir, "checkpoint.msgpack")
     with open(path, "wb") as f:
         f.write(blob)
@@ -69,3 +74,14 @@ def load_checkpoint(path: str, target: dict) -> tuple[dict, int]:
         with open(meta_path) as f:
             epoch = json.load(f).get("epoch", 0)
     return state, epoch
+
+
+def load_meta(path: str) -> dict:
+    """Full meta JSON for a checkpoint (epoch + extra_meta scalars)."""
+    if not path.endswith(".msgpack"):
+        path = path + ".msgpack"
+    meta_path = path.replace(".msgpack", ".meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}

@@ -77,13 +77,26 @@ class ExperimentCSV:
             reader = csv.DictReader(f)
             return list(reader.fieldnames or []), list(reader)
 
+    def append(self, key: str, values: dict):
+        """Always add a NEW row — the reference appends a fresh
+        hyperparameter row at EVERY train start (train.py:169-171
+        ``logExl.loc[logExl_number] = log_eachItem``), so retraining an
+        experiment never touches earlier rows' test metrics."""
+        fields, rows = self._read()
+        values = {self.key_field: key, **{k: str(v) for k, v in values.items()}}
+        for k in values:
+            if k not in fields:
+                fields.append(k)
+        rows.append(values)
+        self._write(fields, rows)
+
     def upsert(self, key: str, values: dict, append_if_set: tuple = ()):
-        """Update the experiment's row in place — unless any column named in
-        ``append_if_set`` is already filled on that row, in which case a NEW
-        row is appended (hyperparameter columns copied over). This matches
-        the reference's Test_epoch logic (test_dam.py:778-835): repeated test
-        runs at different epochs each keep their own metric row instead of
-        clobbering the previous one."""
+        """Fill the experiment's LAST row in place — unless any column named
+        in ``append_if_set`` is already filled on that row, in which case a
+        NEW row is appended (hyperparameter columns copied over). This is the
+        reference's test write-back (test_dam.py:778-835): the test fills the
+        freshest train row's metric block if it is still unfilled, else each
+        further test run at a different epoch keeps its own row."""
         fields, rows = self._read()
         values = {self.key_field: key, **{k: str(v) for k, v in values.items()}}
         for k in values:
@@ -100,6 +113,9 @@ class ExperimentCSV:
                 rows.append(new_row)
             else:
                 row.update(values)
+        self._write(fields, rows)
+
+    def _write(self, fields, rows):
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         with open(self.path, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=fields, restval="")

@@ -85,6 +85,23 @@ def walk(jaxpr, rows):
                         walk(u.jaxpr, rows)
 
 
+def analyze(fn, *abstract_args) -> dict:
+    """Roofline totals for ``fn(*abstract_args)`` (abstract trace, no
+    compile, no device). Returns {tflop, gb, t_compute_ms, t_hbm_ms,
+    sol_ms, rows}. Importable by bench.py so the reported speed-of-light
+    always matches the benched model/shape instead of a stale constant."""
+    jaxpr = jax.make_jaxpr(fn)(*abstract_args)
+    rows = []
+    walk(jaxpr.jaxpr, rows)
+    tot_f = tot_b = t_comp = t_bw = t_sol = 0.0
+    for _, f, b, _ in rows:
+        tc, tb = f / PEAK_FLOPS, b / PEAK_BW
+        tot_f += f; tot_b += b; t_comp += tc; t_bw += tb; t_sol += max(tc, tb)
+    return {"tflop": tot_f / 1e12, "gb": tot_b / 1e9,
+            "t_compute_ms": t_comp * 1e3, "t_hbm_ms": t_bw * 1e3,
+            "sol_ms": t_sol * 1e3, "rows": rows}
+
+
 def main():
     from cdnet_tpu.config import Config
     from cdnet_tpu.infer import make_model_fn
@@ -104,27 +121,23 @@ def main():
     def forward(v, image):
         return model_fn(v, T.expand(image))
 
-    jaxpr = jax.make_jaxpr(forward)(variables, img)
-    rows = []
-    walk(jaxpr.jaxpr, rows)
-
-    tot_f = tot_b = t_comp = t_bw = t_sol = 0.0
+    res = analyze(forward, variables, img)
     print(f"{'op':5} {'GFLOP':>9} {'MB':>8} {'int.':>7} {'bound':>7} "
           f"{'t_sol ms':>9}  shapes")
-    for kind, f, b, shapes in rows:
+    for kind, f, b, shapes in res["rows"]:
         ai = f / b
         tc, tb = f / PEAK_FLOPS, b / PEAK_BW
-        t = max(tc, tb)
-        tot_f += f; tot_b += b; t_comp += tc; t_bw += tb; t_sol += t
         print(f"{kind:5} {f/1e9:9.1f} {b/1e6:8.1f} {ai:7.1f} "
-              f"{'MXU' if tc >= tb else 'HBM':>7} {t*1e3:9.3f}  "
+              f"{'MXU' if tc >= tb else 'HBM':>7} {max(tc, tb)*1e3:9.3f}  "
               f"{shapes[0]}x{shapes[1]}->{shapes[2]}")
-    print(f"\nTOTAL {len(rows)} matmul/conv ops: {tot_f/1e12:.2f} TFLOP, "
-          f"{tot_b/1e9:.2f} GB touched")
-    print(f"  pure-compute time : {t_comp*1e3:7.1f} ms ({PEAK_FLOPS/1e12:.0f} TF/s)")
-    print(f"  pure-HBM time     : {t_bw*1e3:7.1f} ms ({PEAK_BW/1e9:.0f} GB/s)")
-    print(f"  roofline (SOL)    : {t_sol*1e3:7.1f} ms  "
-          f"-> {1.0/t_sol:.1f} tiles/s forward-only ceiling")
+    print(f"\nTOTAL {len(res['rows'])} matmul/conv ops: "
+          f"{res['tflop']:.2f} TFLOP, {res['gb']:.2f} GB touched")
+    print(f"  pure-compute time : {res['t_compute_ms']:7.1f} ms "
+          f"({PEAK_FLOPS/1e12:.0f} TF/s)")
+    print(f"  pure-HBM time     : {res['t_hbm_ms']:7.1f} ms "
+          f"({PEAK_BW/1e9:.0f} GB/s)")
+    print(f"  roofline (SOL)    : {res['sol_ms']:7.1f} ms  "
+          f"-> {1e3/res['sol_ms']:.1f} tiles/s forward-only ceiling")
 
 
 if __name__ == "__main__":

@@ -218,6 +218,28 @@ class TestExperimentCSV:
         _, rows = csv._read()
         assert len(rows) == 2 and rows[1]["t2_Dice"] == "0.85"
 
+    def test_retrain_appends_and_preserves_test_history(self, tmp_path):
+        """train.py:169-171: EVERY train start appends a fresh row. A
+        retrain after two test runs must not overwrite the second test
+        row's metric/hyperparameter columns (round-3 review finding: the
+        train-time upsert targeted matches[-1] — the test-metrics row)."""
+        from cdnet_tpu.utils import ExperimentCSV
+        path = str(tmp_path / "logExl.csv")
+        csv = ExperimentCSV(path)
+        csv.append("exp_a", {"Model": "UNet", "Epoch": 100})
+        csv.upsert("exp_a", {"t1_Dice": 0.8}, append_if_set=("t1_Dice",))
+        csv.upsert("exp_a", {"t1_Dice": 0.9}, append_if_set=("t1_Dice",))
+        csv.append("exp_a", {"Model": "UNet", "Epoch": 200})  # retrain
+        _, rows = csv._read()
+        assert len(rows) == 3
+        assert rows[1]["t1_Dice"] == "0.9" and rows[1]["Epoch"] == "100"
+        assert rows[2]["Epoch"] == "200" and rows[2].get("t1_Dice", "") == ""
+        # the retrain's test fills the NEW row, not the old ones
+        csv.upsert("exp_a", {"t1_Dice": 0.95}, append_if_set=("t1_Dice",))
+        _, rows = csv._read()
+        assert len(rows) == 3 and rows[2]["t1_Dice"] == "0.95"
+        assert rows[0]["t1_Dice"] == "0.8" and rows[1]["t1_Dice"] == "0.9"
+
 
 class TestDataFolderChannels:
     def test_per_dir_channel_counts(self, tmp_path):

@@ -174,6 +174,21 @@ def oracle_watershed(dist, markers, mask):
 
 
 class TestWatershed:
+    def test_markerless_component_stays_unlabeled(self):
+        """A mask component with NO marker must come out 0 (skimage leaves it
+        unlabeled). Regression: the line-scan barrier cap ``_NEG - mu``
+        rounded back to ``_NEG`` in float32, tying the unlabeled state so the
+        label tie-break adopted a flood leaked across the barrier."""
+        mask = np.zeros((16, 32), bool)
+        mask[4:12, 2:12] = True      # left component, marked
+        mask[4:12, 20:30] = True     # right component, markerless
+        markers = np.zeros((16, 32), np.int32)
+        markers[8, 6] = 1
+        dist = np.full((16, 32), 5.0, np.float32)
+        out = np.asarray(watershed.watershed(dist, markers, mask))
+        assert (out[4:12, 2:12] == 1).all()
+        assert (out[4:12, 20:30] == 0).all()
+
     def test_two_basins(self):
         # two distance peaks inside one connected mask -> split into 2 regions
         h = w = 32
