@@ -56,10 +56,21 @@ def enhance_boundary_cf(prob_maps: jnp.ndarray, point_map: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("min_area", "radius", "use_watershed",
                                               "ws_min_size"))
 def instances_from_pred(pred: jnp.ndarray, min_area: int = 20, radius: int = 2,
-                        use_watershed: bool = False, ws_min_size: int = 10):
+                        use_watershed: bool = False, ws_min_size: int = 10,
+                        rescue_markerless: bool = True):
     """3-class argmax map -> instance labels (test_dam.py:544-563).
 
     Returns (labels int32, pred2 bool). ``use_watershed`` = opt.post.postproc.
+
+    ``rescue_markerless`` (watershed path, on by default — a deliberate
+    improvement over the reference): a mask component whose marker was
+    erased by the EDT-threshold/erosion/remove-small chain (typical for
+    small nuclei) is unreachable by the flood; skimage/the reference drop
+    it entirely (postproc_other.py:41-48), deleting a real predicted
+    nucleus. Here each such component keeps its own instance id instead.
+    On the dense-tile sweep this is worth +0.01-0.02 AJI vs the reference
+    semantics (experiments/ws_divergence/RESULTS.md); pass False for
+    output-exact reference parity.
     """
     pred_inside = pred == 1
     pred_inside2 = binary_fill_holes(pred_inside)
@@ -83,6 +94,13 @@ def instances_from_pred(pred: jnp.ndarray, min_area: int = 20, radius: int = 2,
         mlab, _ = cc_label(marker, connectivity=1)
         mlab = remove_small_objects(mlab, ws_min_size)
         labels = watershed(dist_f, mlab, pred_inside)
+        if rescue_markerless:
+            # orphan = mask pixels no flood reached == components with no
+            # surviving marker (every marked component floods completely);
+            # re-seed each with its own CC id past the current maximum
+            orphan = pred_inside & (labels == 0)
+            olab, _ = cc_label(orphan, connectivity=1)
+            labels = jnp.where(orphan, olab + jnp.max(labels), labels)
         labels = remove_small_objects(labels, ws_min_size)
     else:
         labels, _ = cc_label(pred2, connectivity=2)

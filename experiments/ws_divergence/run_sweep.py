@@ -148,6 +148,16 @@ def main():
         "geodesic hop count — skimage's BFS split — while a level",
         "difference always dominates (mu * diameter < 1).",
         "",
+        "Round 3: a float32-rounding bug let floods LEAK across blocked",
+        "barriers and claim markerless mask components; fixing the leak",
+        "(-inf caps) exposed that those accidental claims were worth",
+        "+0.007-0.012 AJI — the components are REAL nuclei whose markers",
+        "the EDT/erosion chain erased, and skimage/the reference delete",
+        "them. `instances_from_pred(rescue_markerless=True)` (default) now",
+        "keeps each as its own instance — a deliberate, documented",
+        "improvement over reference semantics (pass False for output-exact",
+        "parity).",
+        "",
         "Acceptance rule (VERDICT r2 item 5, 0.002 AJI budget on the LOSS",
         "side): the divergence is acceptable iff the device watershed never",
         "scores more than 0.002 AJI BELOW the skimage oracle.",
