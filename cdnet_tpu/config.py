@@ -116,6 +116,10 @@ class PostConfig:
     postproc: int = 0     # 0: CC labeling; 1: watershed
     min_area: int = 20
     radius: int = 2
+    # keep watershed-unreachable (marker-erased) components as their own
+    # instances instead of the reference's silent drop — see
+    # ops/postproc.instances_from_pred; 0 = output-exact reference parity
+    ws_rescue: int = 1
 
 
 @dataclass

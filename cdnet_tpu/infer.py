@@ -150,7 +150,8 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
         res["pred"] = pred
         labels, pred2 = instances_from_pred(
             pred, min_area=cfg.post.min_area, radius=cfg.post.radius,
-            use_watershed=bool(cfg.post.postproc))
+            use_watershed=bool(cfg.post.postproc),
+            rescue_markerless=bool(cfg.post.ws_rescue))
         res["instances"] = labels
         res["pred2"] = pred2
         return res

@@ -54,7 +54,7 @@ def enhance_boundary_cf(prob_maps: jnp.ndarray, point_map: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("min_area", "radius", "use_watershed",
-                                              "ws_min_size"))
+                                              "ws_min_size", "rescue_markerless"))
 def instances_from_pred(pred: jnp.ndarray, min_area: int = 20, radius: int = 2,
                         use_watershed: bool = False, ws_min_size: int = 10,
                         rescue_markerless: bool = True):
