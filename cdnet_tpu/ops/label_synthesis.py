@@ -36,19 +36,10 @@ from cdnet_tpu.ops.centerpoint import centerness_map
 from cdnet_tpu.ops.connected import label as cc_label
 from cdnet_tpu.ops.edt import normalized_instance_edt
 from cdnet_tpu.ops.filters import gaussian_filter
-from cdnet_tpu.ops.morphology import (_shift2d, binary_fill_holes, dilation,
-                                      erosion, remove_small_objects)
+from cdnet_tpu.ops.morphology import (binary_erosion_scipy, binary_fill_holes,
+                                      dilation, erosion, remove_small_objects)
 from cdnet_tpu.ops.watershed import watershed
 
-_CROSS = ((-1, 0), (1, 0), (0, -1), (0, 1))
-
-
-def _binary_erosion_scipy(mask: jnp.ndarray) -> jnp.ndarray:
-    """scipy.ndimage.binary_erosion: cross structure, border_value=0."""
-    out = mask.astype(bool)
-    for dy, dx in _CROSS:
-        out = out & _shift2d(mask.astype(bool), dy, dx, False)
-    return out
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
@@ -71,9 +62,9 @@ def ternary_label(instance_labels: jnp.ndarray, radius: int = 1):
     return label_3c.astype(jnp.int32), new_label_inside
 
 
-@functools.partial(jax.jit, static_argnames=("min_size", "max_instances"))
-def resplit_instances(inside_mask: jnp.ndarray, min_size: int = 5,
-                      max_instances: int = 160) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("min_size",))
+def resplit_instances(inside_mask: jnp.ndarray,
+                      min_size: int = 5) -> jnp.ndarray:
     """postproc_other.process(..., ws=True) semantics on device.
 
     4-connected CC -> per-instance EDT (uint8-normalized) -> marker =
@@ -86,7 +77,7 @@ def resplit_instances(inside_mask: jnp.ndarray, min_size: int = 5,
     dist = dist_f.astype(jnp.uint8)  # markers: reference uint8 threshold
     marker = dist > 125
     marker = binary_fill_holes(marker)
-    marker = _binary_erosion_scipy(marker)
+    marker = binary_erosion_scipy(marker)
     mlab, _ = cc_label(marker, connectivity=1)
     mlab = remove_small_objects(mlab, min_size)
     # flood on the unquantized distance (plateau-tie parity; see watershed.py)
@@ -222,8 +213,7 @@ def synthesize_labels(instance_labels: jnp.ndarray, max_instances: int = 160,
       - "instance":  (H,W) int32 re-split + dilated supervision instances
     """
     label_3c, inside = ternary_label(instance_labels, radius)
-    label_instance = resplit_instances(label_3c == 1, min_size=5,
-                                       max_instances=max_instances)
+    label_instance = resplit_instances(label_3c == 1, min_size=5)
     label_instance = dilation(label_instance, radius)
     dir_cls, point = direction_and_point(label_instance, inside,
                                          max_instances, radius)

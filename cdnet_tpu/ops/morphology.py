@@ -116,6 +116,16 @@ def _max_fill(dtype):
     return jnp.inf
 
 
+def binary_erosion_scipy(mask: jnp.ndarray) -> jnp.ndarray:
+    """scipy.ndimage.binary_erosion parity: cross structure, border_value=0
+    (the reference's marker-erosion step, postproc_other.py:43)."""
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    out = mask.astype(bool)
+    for _, view in shifted_views(mask.astype(bool), offs, False):
+        out = out & view
+    return out
+
+
 def _neighbor_or(mask: jnp.ndarray, connectivity: int) -> jnp.ndarray:
     """OR of 4- or 8-neighborhood (one binary dilation step)."""
     offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]

@@ -23,9 +23,8 @@ import jax.numpy as jnp
 
 from cdnet_tpu.ops.connected import label as cc_label
 from cdnet_tpu.ops.edt import normalized_instance_edt
-from cdnet_tpu.ops.label_synthesis import _binary_erosion_scipy
-from cdnet_tpu.ops.morphology import (binary_fill_holes, dilation,
-                                      remove_small_objects)
+from cdnet_tpu.ops.morphology import (binary_erosion_scipy, binary_fill_holes,
+                                      dilation, remove_small_objects)
 from cdnet_tpu.ops.watershed import watershed
 
 
@@ -90,7 +89,7 @@ def instances_from_pred(pred: jnp.ndarray, min_area: int = 20, radius: int = 2,
         dist = dist_f.astype(jnp.uint8)
         marker = dist > 125
         marker = binary_fill_holes(marker)
-        marker = _binary_erosion_scipy(marker)
+        marker = binary_erosion_scipy(marker)
         mlab, _ = cc_label(marker, connectivity=1)
         mlab = remove_small_objects(mlab, ws_min_size)
         labels = watershed(dist_f, mlab, pred_inside)
@@ -110,14 +109,19 @@ def instances_from_pred(pred: jnp.ndarray, min_area: int = 20, radius: int = 2,
 
 def _diamond_dilation(labels: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Label dilation with an L1-diamond structuring element (the dcan
-    k_disk, postproc_other.py:83-91, is |dy|+|dx| <= 3, not a Euclidean disk)."""
-    from cdnet_tpu.ops.morphology import _shift2d
+    k_disk, postproc_other.py:83-91, is |dy|+|dx| <= 3, not a Euclidean disk).
+
+    Uses shifted_views' pad-once pattern: one pad + k static slices instead
+    of k pads (the per-shift jnp.pad variant costs a dispatch+copy kernel
+    per offset — see morphology.shifted_views)."""
+    from cdnet_tpu.ops.morphology import shifted_views
+    offs = [(dy, dx)
+            for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)
+            if 0 < abs(dy) + abs(dx) <= radius]
     out = labels
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            if abs(dy) + abs(dx) > radius or (dy == 0 and dx == 0):
-                continue
-            out = jnp.maximum(out, _shift2d(labels, dy, dx, 0))
+    for _, view in shifted_views(labels, offs, 0):
+        out = jnp.maximum(out, view)
     return out
 
 

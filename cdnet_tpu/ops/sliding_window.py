@@ -28,10 +28,9 @@ def plan_tiles(h: int, w: int, size: int, overlap: int):
     pad_h = 0 if h <= size else stride - (h - size) % stride
     pad_w = 0 if w <= size else stride - (w - size) % stride
     hp, wp = h + pad_h, w + pad_w
+    # range's stop (hp - overlap) already guarantees every r < hp - overlap
     rows = list(range(0, max(hp - overlap, 1), stride)) if hp > size else [0]
     cols = list(range(0, max(wp - overlap, 1), stride)) if wp > size else [0]
-    rows = [r for r in rows if r < hp - overlap or r == 0]
-    cols = [c for c in cols if c < wp - overlap or c == 0]
     return hp, wp, rows, cols
 
 

@@ -30,9 +30,16 @@ def _linear_to_srgb(lin):
 
 
 def rgb2lab(rgb_uint8: np.ndarray) -> np.ndarray:
-    """(H,W,3) uint8 (or [0,1] float) -> CIE LAB float64 (skimage parity)."""
-    rgb = np.asarray(rgb_uint8, np.float64)
-    if rgb.max() > 1.0:
+    """(H,W,3) uint8 (or [0,1] float) -> CIE LAB float64 (skimage parity).
+
+    Scaling is decided by DTYPE, like skimage's img_as_float: integer input
+    is always /255, float input is assumed [0,1]. (A content heuristic
+    'max > 1' treated a near-black uint8 tile — max channel <= 1 — as
+    already-normalized float, mapping pixel value 1 to L~100 instead of
+    L~0.3 and corrupting the fitted Reinhard statistics.)"""
+    arr = np.asarray(rgb_uint8)
+    rgb = arr.astype(np.float64)
+    if np.issubdtype(arr.dtype, np.integer):
         rgb = rgb / 255.0
     xyz = _srgb_to_linear(rgb) @ _RGB2XYZ.T
     xyz = xyz / _WHITE

@@ -11,7 +11,6 @@ mesh — and invert with the same static index maps.
 """
 from __future__ import annotations
 
-import functools
 
 import jax.numpy as jnp
 import numpy as np
@@ -33,44 +32,6 @@ DCM_VOTING_TRANS = jnp.asarray([
 ], dtype=jnp.int32)
 
 
-@functools.lru_cache(maxsize=8)
-def _expand_grids(h: int, w: int) -> np.ndarray:
-    """(8, H, W, 2) int32: view_s[p] = img[grid_s[p]] for the 8 symmetries.
-
-    Built by applying the forward transforms (PIL rotate(90, expand) ==
-    np.rot90 k=1; flips per test_dam.py:314-317, 373-377) to the identity
-    index grid with NumPy at trace time.
-    """
-    a = np.stack(np.mgrid[0:h, 0:w], axis=-1).astype(np.int32)
-    hf = np.flip(a, 1)
-    vf = np.flip(a, 0)
-    hvf = np.flip(hf, 0)
-    r90 = np.rot90(a, k=1, axes=(0, 1))
-    r90_hf = np.flip(r90, 1)
-    r90_vf = np.flip(r90, 0)
-    r90_hvf = np.flip(r90_hf, 0)
-    return np.ascontiguousarray(
-        np.stack([a, hf, vf, hvf, r90, r90_hf, r90_vf, r90_hvf]))
-
-
-@functools.lru_cache(maxsize=8)
-def _invert_grids(h: int, w: int) -> np.ndarray:
-    """(8, H, W, 2) int32: out_s[q] = view_s[grid_s[q]] — the reference's
-    re-flip order (test_dam.py:356-362, 428-443: flips, then rot90 k=3)."""
-    a = np.stack(np.mgrid[0:h, 0:w], axis=-1).astype(np.int32)
-    def rot3(x):
-        return np.rot90(x, k=3, axes=(0, 1))
-    grids = [
-        a,
-        np.flip(a, 1),
-        np.flip(a, 0),
-        np.flip(np.flip(a, 0), 1),
-        rot3(a),
-        rot3(np.flip(a, 1)),
-        rot3(np.flip(a, 0)),
-        rot3(np.flip(np.flip(a, 0), 1)),
-    ]
-    return np.ascontiguousarray(np.stack(grids))
 
 
 # which views carry each primitive transform (order: id, hf, vf, hvf, r90,
@@ -161,9 +122,10 @@ def dcm_voting2(direction_maps_8hw: jnp.ndarray) -> jnp.ndarray:
     argmax over vote counts (ties -> lowest class, like np.argmax).
     """
     d = direction_maps_8hw.astype(jnp.int32)
-    remapped = jnp.take_along_axis(
-        DCM_VOTING_TRANS[:, :, None, None].repeat(d.shape[1], 2).repeat(d.shape[2], 3),
-        d[:, None, :, :], axis=1)[:, 0]
+    # 9-entry table lookup per view as a direct gather — the broadcasted
+    # take_along_axis formulation materialized a (8,9,H,W) int32
+    # intermediate (~288 MB at 1000^2) just to index a 9-entry row
+    remapped = DCM_VOTING_TRANS[jnp.arange(8)[:, None, None], d]
     votes = jnp.zeros((9,) + d.shape[1:], jnp.int32)
     for i in range(8):
         votes = votes + (remapped[i][None] == jnp.arange(9)[:, None, None])

@@ -44,7 +44,8 @@ _NEG = jnp.float32(-3e38)
 
 
 def watershed(dist: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
-              hop_penalty: float = 1.0 / 4096.0) -> jnp.ndarray:
+              hop_penalty: float = 1.0 / 4096.0,
+              use_scans: bool = True) -> jnp.ndarray:
     """Flood ``markers`` over ``mask`` in decreasing order of ``dist``.
 
     Equivalent to skimage ``watershed(-dist, markers, mask=mask)`` with
@@ -66,6 +67,19 @@ def watershed(dist: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
     (a' = min(a1, a2 + b1), b' = b1 + b2), so the hop-penalized flood stays
     a pair of associative line scans + a 4-neighbor relaxation inside one
     ``lax.while_loop``.
+
+    The scan operator is associative in the VALUE plane but not in the
+    LABEL plane (two sources collapsing to equal cost under a downstream
+    cap can surface either label depending on the scan tree). This cannot
+    leak into the result: per-pixel state only ever increases in
+    lexicographic (value, label) order, the while_loop runs until NO update
+    (scan or 4-neighbor) changes anything, and the supremum state — max
+    path cost, then max label among max-cost paths — is derivable through
+    4-neighbor relaxations alone (cost extension is monotone, so paths that
+    tie at a pixel tie on every common suffix). The fixpoint is therefore
+    unique and scan-tree/backend independent; the scans only accelerate
+    convergence. ``use_scans=False`` drops the accelerator (same result,
+    O(diameter) iterations) — used by the determinism test.
     """
     mask = mask.astype(bool)
     markers = jnp.where(mask, markers.astype(jnp.int32), 0)
@@ -131,8 +145,11 @@ def watershed(dist: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
         # iteration covers every staircase H-then-V path — valid path costs
         # only -> sound accelerator; the unique supremum fixpoint is
         # unchanged, convergence drops from O(diameter) sweeps to a handful)
-        rv, rl = _scan_axis(v, l, 1)
-        bv, bl = _scan_axis(rv, rl, 0)
+        if use_scans:
+            rv, rl = _scan_axis(v, l, 1)
+            bv, bl = _scan_axis(rv, rl, 0)
+        else:
+            bv, bl = v, l
         # local: 4-neighbor relaxation stitches rows and columns together
         views = list(shifted_views(bv, _OFFS_4, _NEG))
         lviews = list(shifted_views(bl, _OFFS_4, 0))

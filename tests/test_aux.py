@@ -49,6 +49,18 @@ class TestStain:
         back = (stain.lab2rgb(lab) * 255)
         np.testing.assert_allclose(back, img, atol=1.0)
 
+    def test_dark_uint8_tile_scales_by_dtype(self):
+        """A near-black uint8 tile (max channel value 1) must be scaled
+        /255 like skimage img_as_float — the old 'max > 1' content
+        heuristic treated it as float [0,1] data and mapped value 1 to
+        L~100 instead of L~0.3."""
+        dark = np.ones((4, 4, 3), np.uint8)
+        L = stain.rgb2lab(dark)[..., 0]
+        assert L.max() < 1.0, L.max()
+        # float input with the same VALUES is genuinely [0,1] data
+        bright = stain.rgb2lab(np.ones((4, 4, 3), np.float64))[..., 0]
+        assert bright.min() > 99.0
+
     def test_normalizer_matches_target_stats(self, rng):
         target = (rng.rand(32, 32, 3) * 200 + 30).astype(np.uint8)
         src = (rng.rand(32, 32, 3) * 100 + 100).astype(np.uint8)
@@ -239,6 +251,29 @@ class TestExperimentCSV:
         _, rows = csv._read()
         assert len(rows) == 3 and rows[2]["t1_Dice"] == "0.95"
         assert rows[0]["t1_Dice"] == "0.8" and rows[1]["t1_Dice"] == "0.9"
+
+
+class TestCheckpointMeta:
+    def test_extra_meta_roundtrip(self, tmp_path):
+        """Host-side scheduler/selection state (best_iou + plateau tracker)
+        must survive a save/load cycle via the meta JSON (reference
+        train.py:293-306 restores best_iou and the reduced lr on resume)."""
+        from cdnet_tpu.utils import load_checkpoint, load_meta, save_checkpoint
+        state = {"params": {"w": np.ones((2, 2), np.float32)}}
+        extra = {"best_iou": 0.73, "plateau_best": float("inf"),
+                 "plateau_num_bad": 3, "plateau_scale": 0.25}
+        save_checkpoint(str(tmp_path), state, epoch=7, extra_meta=extra)
+        path = str(tmp_path / "checkpoint.msgpack")
+        restored, epoch = load_checkpoint(path, state)
+        assert epoch == 7
+        assert np.array_equal(restored["params"]["w"], state["params"]["w"])
+        meta = load_meta(path)
+        assert meta["best_iou"] == 0.73
+        assert meta["plateau_best"] == float("inf")  # json Infinity round-trip
+        assert meta["plateau_num_bad"] == 3
+        assert meta["plateau_scale"] == 0.25
+        # stem (no .msgpack) also resolves
+        assert load_meta(str(tmp_path / "checkpoint"))["epoch"] == 7
 
 
 class TestDataFolderChannels:

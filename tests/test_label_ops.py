@@ -189,6 +189,26 @@ class TestWatershed:
         assert (out[4:12, 2:12] == 1).all()
         assert (out[4:12, 20:30] == 0).all()
 
+    def test_scan_accelerator_preserves_fixpoint(self):
+        """The line-scan operator is non-associative in the label plane, so
+        intermediate scan outputs are scan-tree dependent — but the
+        while_loop fixpoint must be identical with and without the scan
+        accelerator (tie-heavy flat plateau forces maximal tie mass)."""
+        rng = np.random.RandomState(3)
+        mask = rng.rand(48, 64) > 0.25
+        markers = np.zeros((48, 64), np.int32)
+        for k, (y, x) in enumerate([(5, 5), (40, 10), (20, 50), (44, 60)], 1):
+            if mask[y, x]:
+                markers[y, x] = k
+            else:
+                mask[y, x] = True
+                markers[y, x] = k
+        dist = np.full((48, 64), 7.0, np.float32)  # one giant plateau
+        fast = np.asarray(watershed.watershed(dist, markers, mask))
+        slow = np.asarray(watershed.watershed(dist, markers, mask,
+                                              use_scans=False))
+        assert np.array_equal(fast, slow)
+
     def test_two_basins(self):
         # two distance peaks inside one connected mask -> split into 2 regions
         h = w = 32

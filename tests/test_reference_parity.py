@@ -420,8 +420,7 @@ class TestPostprocParity:
         inside = _tile(13, 96) > 0
         ref = postproc_other.process(inside.astype(np.uint8) * 255,
                                      model_mode="modelName", min_size=10)
-        ours = np.asarray(resplit_instances(jnp.asarray(inside), min_size=10,
-                                            max_instances=32))
+        ours = np.asarray(resplit_instances(jnp.asarray(inside), min_size=10))
         ref_c, our_c = canon(ref), canon(ours)
         assert ref_c.max() == our_c.max()
         agree = (ref_c == our_c).mean()
