@@ -96,7 +96,8 @@ class DataFolder:
         # transformed label has <= 1 unique value
         for _ in range(self.max_retries):
             out = self.data_transform(sample)
-            label = np.asarray(out[2])
+            # the label is the LAST item (2-dir configs have no weight map)
+            label = np.asarray(out[-1])
             if len(np.unique(label)) > 1:
                 return out
         return out

@@ -15,6 +15,10 @@ import numpy as np
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
                          "libcdnet_host.so")
+# None = not probed yet; False = force/record the NumPy fallback (tests set
+# this to compare native vs fallback for real — the old None sentinel made
+# "forced fallback" indistinguishable from "not loaded yet", so the parity
+# tests silently compared native against native); a CDLL once loaded.
 _lib = None
 
 
@@ -24,9 +28,12 @@ def available() -> bool:
 
 def _load():
     global _lib
+    if _lib is False:
+        return None
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH):
+        _lib = False
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.cdnet_assemble_batch.restype = ctypes.c_int
@@ -71,8 +78,11 @@ def assemble_batch(samples, crop: int, rng: np.random.RandomState,
                 im, wm, it = im[:, ::-1], wm[:, ::-1], it[:, ::-1]
             if vflip[i]:
                 im, wm, it = im[::-1], wm[::-1], it[::-1]
-            im = im * brightness[i]
+            # contrast pivot = RAW crop mean, computed BEFORE brightness —
+            # the native pass (host_ops.cpp process_sample) pre-computes the
+            # mean from the uint8 crop and then applies brightness per pixel
             mean = im.mean()
+            im = im * brightness[i]
             im = np.clip((im - mean) * contrast[i] + mean, 0, 1)
             out_imgs[i], out_weights[i], out_insts[i] = im, wm, it
         return {"image": out_imgs, "weight": out_weights, "instance": out_insts}
@@ -104,8 +114,11 @@ def warp_nearest(img: np.ndarray, weight: np.ndarray, inst: np.ndarray,
     lib = _load()
     h, w = inst.shape
     if lib is None:
-        sy = np.clip(np.rint(src_y).astype(np.int64), -1, h)
-        sx = np.clip(np.rint(src_x).astype(np.int64), -1, w)
+        # floor(x + 0.5) == the native path's round-half-up (host_ops.cpp
+        # uses floorf; np.rint's banker's rounding differs on half-integers
+        # and plain (int) truncation differs on negatives)
+        sy = np.clip(np.floor(src_y + 0.5).astype(np.int64), -1, h)
+        sx = np.clip(np.floor(src_x + 0.5).astype(np.int64), -1, w)
         inb = (sy >= 0) & (sy < h) & (sx >= 0) & (sx < w)
         syc, sxc = np.clip(sy, 0, h - 1), np.clip(sx, 0, w - 1)
         oi = np.where(inb[..., None], img[syc, sxc], 0).astype(np.uint8)

@@ -33,15 +33,22 @@ def unet_weight_map(instance_labels: np.ndarray, w0: float = 10.0,
     h, w = labels.shape
     if ids.size == 0:
         return np.full((h, w), w_base, np.float32)
-    # distance to each instance (stacked), then the two smallest
-    dists = np.stack([distance_transform_edt(labels != k) for k in ids])
-    if len(ids) == 1:
-        d1 = dists[0]
-        d2 = np.zeros_like(d1)
-    else:
-        part = np.partition(dists, 1, axis=0)
-        d1, d2 = part[0], part[1]
-    ridge = w0 * np.exp(-((d1 + d2) ** 2) / (2.0 * sigma ** 2))
+    # running two-smallest distances: two H*W buffers instead of stacking
+    # one full-image EDT per instance (a 1000^2 tile with ~700 nuclei would
+    # stack 5.6 GB of float64)
+    d1 = np.full((h, w), np.inf)
+    d2 = np.full((h, w), np.inf)
+    for k in ids:
+        d = distance_transform_edt(labels != k)
+        closer = d < d1
+        d2 = np.where(closer, d1, np.minimum(d2, d))
+        d1 = np.where(closer, d, d1)
+    # one instance: d2 stays +inf and the ridge term vanishes (U-Net eq. 2
+    # defines d2 as distance to the SECOND-nearest cell; a zero d2 would
+    # fabricate a phantom neighbor and draw a maximal ridge around every
+    # isolated nucleus)
+    gap = d1 + d2                      # +inf when only one instance exists
+    ridge = w0 * np.exp(-(gap ** 2) / (2.0 * sigma ** 2))  # exp(-inf) == 0
     out = w_base + ridge * (labels == 0)
     return out.astype(np.float32)
 
@@ -63,7 +70,15 @@ def main(argv=None):
     os.makedirs(ns.out_dir, exist_ok=True)
     for f in sorted(os.listdir(ns.labels_dir)):
         stem = os.path.splitext(f)[0]
-        lab = np.asarray(img_loader(os.path.join(ns.labels_dir, f)))
+        path = os.path.join(ns.labels_dir, f)
+        if f.endswith(".png"):
+            # open WITHOUT an RGB convert: instance-id PNGs are often
+            # 16/32-bit ('I;16'/'I'), and convert('RGB') clips every id
+            # above 255 — merging instances and erasing exactly the ridges
+            # this map exists to mark
+            lab = np.asarray(Image.open(path))
+        else:
+            lab = np.asarray(img_loader(path))
         if lab.ndim == 3:
             lab = lab[..., 0]
         wm = weight_map_uint8(lab)

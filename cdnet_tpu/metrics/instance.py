@@ -174,5 +174,8 @@ def pair_coordinates(set_a: np.ndarray, set_b: np.ndarray, radius: float):
     paired_b = idx_b[cost <= radius]
     unpaired_a = np.setdiff1d(np.arange(set_a.shape[0]), paired_a)
     unpaired_b = np.setdiff1d(np.arange(set_b.shape[0]), paired_b)
-    pairing = np.array(list(zip(paired_a, paired_b)))
+    # column_stack keeps shape (0, 2) when nothing pairs (the reference's
+    # np.array(list(zip(...))) collapses to shape (0,), crashing any caller
+    # that indexes pairing[:, 0] on a zero-match image)
+    pairing = np.column_stack([paired_a, paired_b]).astype(np.int64)
     return pairing, unpaired_a.astype(np.int64), unpaired_b.astype(np.int64)

@@ -26,15 +26,37 @@ def label_equal_values(labels: np.ndarray, connectivity: int = 2) -> np.ndarray:
     EQUAL nonzero value get distinct ids (touching different values stay
     separate)."""
     labels = np.asarray(labels)
-    out = np.zeros(labels.shape, np.int32)
     structure = ndi.generate_binary_structure(2, connectivity)
-    nxt = 0
-    for v in np.unique(labels):
-        if v == 0:
-            continue
-        cc, n = ndi.label(labels == v, structure=structure)
-        out[cc > 0] = cc[cc > 0] + nxt
-        nxt += n
+    # single pass over the foreground, then split only the components that
+    # span multiple input values (one full-image ndi.label per DISTINCT
+    # value — ~700 on a MoNuSeg GT tile — cost seconds per eval image)
+    cc, n = ndi.label(labels != 0, structure=structure)
+    out = cc.astype(np.int32)
+    if n == 0:
+        return out
+    # a component is pure iff every pixel carries one value: compare per-
+    # component min == max of the input values
+    mins = ndi.minimum(labels, cc, index=np.arange(1, n + 1))
+    maxs = ndi.maximum(labels, cc, index=np.arange(1, n + 1))
+    nxt = n
+    mixed = np.nonzero(np.asarray(mins) != np.asarray(maxs))[0] + 1
+    for comp in mixed:
+        region = cc == comp
+        sub = np.where(region, labels, 0)
+        for v in np.unique(sub):
+            if v == 0:
+                continue
+            sub_cc, m = ndi.label(sub == v, structure=structure)
+            out[sub_cc > 0] = sub_cc[sub_cc > 0] + nxt
+            nxt += m
+    if len(mixed):
+        # splitting left the mixed components' original ids unused; compact
+        # to consecutive 1..N (callers iterate range(1, N+1) like the
+        # reference's measure.label output, utils.py:243-330)
+        uniq = np.unique(out)
+        lut = np.zeros(int(out.max()) + 1, np.int32)
+        lut[uniq] = np.arange(len(uniq), dtype=np.int32)
+        out = lut[out]
     return out
 
 
@@ -104,6 +126,12 @@ def gland_accuracy_object_level(pred: np.ndarray, gt: np.ndarray):
     inter, gt_sizes, pred_sizes, n_gt, n_pred = _contingency(gt_labeled,
                                                              pred_labeled)
     # --- F1: per-pred max-overlap GT must be >=50% covered (utils.py:453-492)
+    # NOTE deliberate reference parity: the reference counts TP per PRED
+    # without consuming the matched GT (utils.py:457-485), so two pred
+    # fragments each covering >=50% of one gland BOTH count as TP — TP can
+    # exceed n_gt and FN = n_gt - TP can go negative, pushing recall/F1
+    # past 1 on over-segmented glands. Kept as-is because the number must
+    # match the reference's own metric.
     tp = fp = 0.0
     for j in range(n_pred):
         col = inter[:, j] if n_gt else np.zeros(0)

@@ -15,6 +15,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <algorithm>
 #include <pthread.h>
 
@@ -138,8 +139,10 @@ int cdnet_warp_nearest(
     for (int y = 0; y < h; ++y) {
         for (int x = 0; x < w; ++x) {
             const int i = y * w + x;
-            const int sy = (int)(src_y[i] + 0.5f);
-            const int sx = (int)(src_x[i] + 0.5f);
+            // floor-half-up: (int) truncation toward zero would map every
+            // coord in (-1.5, -0.5) to 0 instead of out-of-bounds
+            const int sy = (int)std::floor(src_y[i] + 0.5f);
+            const int sx = (int)std::floor(src_x[i] + 0.5f);
             if (sy < 0 || sy >= h || sx < 0 || sx >= w) {
                 out_img[i * 3] = out_img[i * 3 + 1] = out_img[i * 3 + 2] = 0;
                 out_weight[i] = 0;

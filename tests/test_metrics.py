@@ -210,3 +210,45 @@ class TestPixel:
         assert iou == pytest.approx(4 / 12, abs=1e-6)
         assert recall == pytest.approx(0.5, abs=1e-6)
         assert precision == pytest.approx(0.5, abs=1e-6)
+
+
+class TestPairCoordinatesShape:
+    def test_zero_matches_keeps_2d_pairing(self):
+        """A zero-match image must return pairing shape (0, 2) — the
+        reference's np.array(list(zip(...))) collapses to (0,) and crashes
+        callers indexing pairing[:, 0] (stats_utils.py:434)."""
+        from cdnet_tpu.metrics.instance import pair_coordinates
+        p, ua, ub = pair_coordinates(np.array([[0.0, 0.0]]),
+                                     np.array([[100.0, 100.0]]), 5.0)
+        assert p.shape == (0, 2)
+        assert p[:, 0].shape == (0,)
+        assert list(ua) == [0] and list(ub) == [0]
+
+
+class TestUNetWeightMap:
+    def test_single_instance_no_phantom_ridge(self):
+        """U-Net eq. 2: with ONE instance, d2 = +inf and the ridge term
+        vanishes (a zero d2 fabricated a maximal ridge around every
+        isolated nucleus)."""
+        from cdnet_tpu.data.weight_maps import unet_weight_map
+        lab = np.zeros((16, 16), np.int32)
+        lab[4:8, 4:8] = 1
+        w = unet_weight_map(lab)
+        np.testing.assert_allclose(w, 1.0, atol=1e-6)
+
+    def test_running_two_smallest_matches_stacked(self):
+        """The O(H*W)-memory running reduction must equal the stacked
+        per-instance EDT formulation."""
+        from scipy.ndimage import distance_transform_edt
+
+        from cdnet_tpu.data.weight_maps import unet_weight_map
+        rng = np.random.RandomState(0)
+        lab = np.zeros((48, 48), np.int32)
+        for k, (y, x) in enumerate(rng.randint(6, 42, (6, 2)), 1):
+            lab[y - 3:y + 3, x - 3:x + 3] = k
+        ids = np.unique(lab); ids = ids[ids != 0]
+        dists = np.stack([distance_transform_edt(lab != k) for k in ids])
+        part = np.partition(dists, 1, axis=0)
+        want = 1.0 + 10.0 * np.exp(-((part[0] + part[1]) ** 2) / 50.0) * (lab == 0)
+        np.testing.assert_allclose(unet_weight_map(lab),
+                                   want.astype(np.float32), rtol=1e-6)

@@ -19,7 +19,7 @@ class TestNativeBatch:
         # identical RNG draws for both paths
         got = NL.assemble_batch(samples, crop=32, rng=np.random.RandomState(7))
         lib = NL._lib
-        NL._lib = None
+        NL._lib = False  # force the real fallback (None would just re-load)
         try:
             want = NL.assemble_batch(samples, crop=32,
                                      rng=np.random.RandomState(7))
@@ -48,7 +48,7 @@ class TestNativeBatch:
         sx = xx + rng.randn(32, 32).astype(np.float32) * 2
         got = NL.warp_nearest(img, wm, inst, sy, sx)
         lib = NL._lib
-        NL._lib = None
+        NL._lib = False  # force the real fallback (None would just re-load)
         try:
             want = NL.warp_nearest(img, wm, inst, sy, sx)
         finally:
@@ -61,7 +61,7 @@ class TestFallback:
     def test_numpy_path_without_lib(self):
         rng = np.random.RandomState(0)
         lib = NL._lib
-        NL._lib = None
+        NL._lib = False  # force the real fallback (None would just re-load)
         try:
             out = NL.assemble_batch(make_samples(rng, n=2), crop=32,
                                     rng=np.random.RandomState(0))
