@@ -84,10 +84,15 @@ def weight_multiclass_dice_loss(probs: jnp.ndarray, onehot: jnp.ndarray,
 
 def focal_loss(logits: jnp.ndarray, onehot: jnp.ndarray, gamma: float = 2.0,
                robust: bool = False) -> jnp.ndarray:
-    """Softmax focal loss (loss.py:37-78; robust variant :81-127 clamps the
-    focus term to [0, 2])."""
-    probs = jax.nn.softmax(logits, axis=-1)
-    p_t = jnp.sum(probs * onehot, axis=-1)
+    """Sigmoid focal loss — the reference's criterion_FocalLoss2d default
+    (loss.py:36-77, type='sigmoid' as constructed in train_util_dam.py:31):
+    every (pixel, class) logit is scored as an independent BINARY problem
+    against its one-hot entry, pt = sigmoid(x) if target else 1-sigmoid(x),
+    mean of -(1-pt)^gamma log(pt) over N*C*H*W elements. The robust variant
+    (loss.py:80-126) clamps the focus term to [0, 2] (a no-op at gamma=2
+    since (1-pt)^2 <= 1, kept for parity)."""
+    p = jax.nn.sigmoid(logits)
+    p_t = jnp.where(onehot > 0.5, p, 1.0 - p)
     p_t = jnp.clip(p_t, 1e-8, 1 - 1e-8)
     focus = (1.0 - p_t) ** gamma
     if robust:
@@ -128,6 +133,12 @@ def variance_loss(probs: jnp.ndarray, instance_labels: jnp.ndarray,
     For each sample: sum over instances of sum_c Var(probs[c] within instance)
     (unbiased, instances of size <= 1 contribute 0), divided by the instance
     count. ``instance_labels``: (N,H,W) int with 0 background.
+
+    ``max_instances`` is a hard scatter bound: ids above it fall off the
+    bucket table (JAX drops out-of-bounds scatters) and contribute nothing —
+    unlike label synthesis there is no chunked rescue here, so size the
+    bound to the densest expected tile (the train driver's default 160
+    covers ~3x the reference's MoNuSeg crops).
     """
     n, c = probs.shape[0], probs.shape[-1]
     k = max_instances + 1
@@ -210,7 +221,8 @@ def ssim_loss(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - ssim(img1, img2)
 
 
-def composite_loss(outputs: dict, targets: dict, cfg) -> tuple[jnp.ndarray, dict]:
+def composite_loss(outputs: dict, targets: dict, cfg,
+                   max_instances: int = 160) -> tuple[jnp.ndarray, dict]:
     """The CDNet training loss (SURVEY.md §3.2; train_util_dam.py:167-276).
 
     outputs: {"mask": (N,H,W,3) logits, "point": (N,H,W,1), "direction": (N,H,W,C)}
@@ -218,6 +230,14 @@ def composite_loss(outputs: dict, targets: dict, cfg) -> tuple[jnp.ndarray, dict
               "weight": (N,H,W) (already /20), "point": (N,H,W,1),
               "direction": (N,H,W) int, "direction_onehot": (N,H,W,C)}
     Returns (total, dict of components).
+
+    Composition order is the reference's EXACTLY: CE -> alpha/variance
+    (alpha==2 REPLACES the CE with 2*loss_var but everything after still
+    adds, train_util_dam.py:182-189) -> boundary -> dice (dice==2 replaces
+    the running loss, :217-219) -> direction CE (+ direction dice if
+    dice==1) -> point MSE. The variance target is the 8-connected CC
+    labeling of the INTERIOR class (measure.label(target == 1), :178-180)
+    computed on device — not the watershed-resplit supervision instances.
     """
     m = cfg.model
     comps = {}
@@ -225,6 +245,16 @@ def composite_loss(outputs: dict, targets: dict, cfg) -> tuple[jnp.ndarray, dict
 
     loss = weighted_nll(outputs["mask"], targets["mask"], w)
     comps["loss_CE"] = loss
+
+    alpha = getattr(cfg.train, "alpha", 0)
+    if alpha in (1, 2):
+        from cdnet_tpu.ops.connected import label as cc_label
+        probs = jax.nn.softmax(outputs["mask"], axis=-1)
+        inst = jax.vmap(
+            lambda t: cc_label(t == 1, connectivity=2)[0])(targets["mask"])
+        lv = variance_loss(probs, inst, max_instances)
+        loss = loss + alpha * lv if alpha == 1 else alpha * lv
+        comps["loss_var"] = lv
 
     if m.boundary_loss == 1:
         b = boundary_loss(outputs["mask"], targets["mask_onehot"])

@@ -104,8 +104,13 @@ class FullNet(nn.Module):
 
 
 class FCNPooling(nn.Module):
-    """`FCN_pooling` (FullNet.py:141-193): FullNet body with pool after the
-    first three blocks and bilinear upsample before the last three."""
+    """`FCN_pooling` (FullNet.py:140-193): FullNet body with a 2x2 max-pool
+    AFTER blocks 1-4 (blocks run at 1x, 1/2, 1/4, 1/8, 1/16 resolution) and
+    a 4x bilinear upsample after blocks 5 and 6 (block 7 and the final conv
+    run at full resolution). torch's UpsamplingBilinear2d is
+    align_corners=True; jax.image.resize uses half-pixel centers — a
+    documented sub-pixel divergence (no reference weight-import path exists
+    for this model)."""
     output_channels: int = 3
     n_layers: int = 6
     growth_rate: int = 24
@@ -126,14 +131,18 @@ class FCNPooling(nn.Module):
         dil_list = hybrid_dilations(self.n_layers, self.dilations, self.is_hybrid)
         n = len(dil_list)
         for i, dil in enumerate(dil_list):
-            if i < 3:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
             x = _DenseBlock(self.growth_rate, self.drop_rate, tuple(dil),
                             self.layer_type, dtype=self.dtype)(x, train)
             num_in = in_ch + self.n_layers * self.growth_rate
             in_ch = int(math.floor(num_in * self.compress_ratio))
             x = _ConvLayer(in_ch, kernel=(1, 1), dtype=self.dtype)(x, train)
-        x = resize_bilinear(x, h, w)
+            if i < 4:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            elif i < 6:
+                x = resize_bilinear(x, x.shape[1] * 4, x.shape[2] * 4)
+        if x.shape[1] != h or x.shape[2] != w:
+            # inputs not divisible by 16: pooling floors, so snap back
+            x = resize_bilinear(x, h, w)
         logits = nn.Conv(self.output_channels, (3, 3), use_bias=False,
                          padding="SAME", dtype=jnp.float32,
                          param_dtype=jnp.float32)(x.astype(jnp.float32))

@@ -17,8 +17,15 @@ from cdnet_tpu.models.vgg_unet import _VGG16_BLOCKS
 
 
 def _pool_with_indices(x):
-    """2x2 stride-2 max pool returning (pooled, argmax in {0..3} per window)."""
+    """2x2 stride-2 max pool returning (pooled, argmax in {0..3} per window).
+
+    Odd spatial dims floor like torch MaxPool2d(2,2): the trailing
+    row/column is dropped before windowing (a bare reshape would raise a
+    size-mismatch on e.g. 250x250 inputs)."""
     n, h, w, c = x.shape
+    if h % 2 or w % 2:
+        x = x[:, :h - h % 2, :w - w % 2]
+        h, w = x.shape[1], x.shape[2]
     xr = x.reshape(n, h // 2, 2, w // 2, 2, c)
     xr = xr.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4, c)
     idx = jnp.argmax(xr, axis=3)

@@ -115,9 +115,15 @@ def get_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformation
             optax.adam(learning_rate=schedule, b1=0.9, b2=0.99),
         )
     elif name == "radam":
+        # hhl RAdam applies weight decay as a DIRECT lr-scaled param shrink
+        # (radam.py:70-72: p -= wd*lr*p) OUTSIDE the moment estimates —
+        # decay goes after scale_by_radam, not into the gradient (the
+        # add-to-grad form feeds wd*p into exp_avg/exp_avg_sq and changes
+        # the adaptive denominator)
         opt = optax.chain(
+            optax.scale_by_radam(b1=0.9, b2=0.99),
             optax.add_decayed_weights(wd),
-            optax.radam(learning_rate=schedule, b1=0.9, b2=0.99),
+            optax.scale_by_learning_rate(schedule),
         )
     elif name == "radam4s":
         opt = radam_4step(schedule, b1=0.9, b2=0.99, weight_decay=wd)
@@ -129,15 +135,23 @@ def get_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformation
                         b1=0.9, b2=0.99, weight_decay=wd),
         )
     elif name == "ranger":
+        # Ranger = lookahead(RAdam); decay is the same direct lr-scaled
+        # shrink as radam (ranger.py:147-148), eps=1e-5 (ranger.py:28)
         inner = optax.chain(
+            optax.scale_by_radam(b1=0.9, b2=0.99, eps=1e-5),
             optax.add_decayed_weights(wd),
-            optax.radam(learning_rate=schedule, b1=0.9, b2=0.99),
+            optax.scale_by_learning_rate(schedule),
         )
+        if t.scheduler == "ReduceLROnPlateau":
+            # the plateau scale must multiply the INNER updates: optax
+            # lookahead updates "should not be modified before they are
+            # applied" or fast/slow params desynchronize at sync steps
+            inner = optax.chain(inner, plateau_scale())
         opt = optax.lookahead(inner, sync_period=6, slow_step_size=0.5)
     else:
         raise ValueError(f"Optimizer {t.optimizer} not available")
 
-    if t.scheduler == "ReduceLROnPlateau":
+    if t.scheduler == "ReduceLROnPlateau" and name != "ranger":
         # torch ReduceLROnPlateau steps ONCE PER EPOCH on the validation loss
         # (utils.py:951-954, train.py:404-413). The epoch-level decision is
         # host-side state (PlateauTracker below); the jitted step only sees a

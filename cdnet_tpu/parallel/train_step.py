@@ -87,26 +87,20 @@ def make_train_step(model, cfg, opt: optax.GradientTransformation,
     """Build the jitted train step: (state, batch) -> (state, metrics)."""
     is_lookahead = cfg.train.optimizer.lower() == "ranger"
 
-    def loss_fn(params, batch_stats, batch, targets):
+    def loss_fn(params, batch_stats, batch, targets, step):
+        # dropout RNG: deterministic per step (folded from the config seed)
+        # — without it every nn.Dropout model (FullNet, FCN_pooling, PSPNet,
+        # PSPDenseNet, FCN8) crashed at the first train step. alpha==3 is
+        # intentionally NOT an SSIM path: the reference's only alpha==3 code
+        # (train_util.py:156-165) is dead (model_ssimloss is hard-reset to 0
+        # at :193) and train_util_dam treats alpha==3 as "no extra loss";
+        # losses.ssim_loss stays available as a library function.
+        rng = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), step)
         out, mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["image"], train=True, mutable=["batch_stats"])
-        total, comps = losses.composite_loss(out, targets, cfg)
-        if cfg.train.alpha == 3:
-            # SSIM path (train_util.py:156-165 alpha==3): per-channel SSIM of
-            # softmax probs against the one-hot target
-            probs = jax.nn.softmax(out["mask"], axis=-1)
-            ls = losses.ssim_loss(probs, targets["mask_onehot"])
-            total = total + ls
-            comps["loss_ssim"] = ls
-        elif cfg.train.alpha > 0:
-            probs = jax.nn.softmax(out["mask"], axis=-1)
-            lv = losses.variance_loss(probs, targets["instance"], max_instances)
-            if cfg.train.alpha == 2:
-                total = cfg.train.alpha * lv
-            else:
-                total = total + cfg.train.alpha * lv
-            comps["loss_var"] = lv
+            batch["image"], train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+        total, comps = losses.composite_loss(out, targets, cfg, max_instances)
         return total, (comps, mut["batch_stats"], out)
 
     @jax.jit
@@ -114,7 +108,8 @@ def make_train_step(model, cfg, opt: optax.GradientTransformation,
         targets = prepare_targets(batch, cfg, max_instances)
         grad_params = state.params.fast if is_lookahead else state.params
         (total, (comps, new_bs, out)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(grad_params, state.batch_stats, batch, targets)
+            loss_fn, has_aux=True)(grad_params, state.batch_stats, batch,
+                                   targets, state.step)
         # value= is accepted (and ignored) by every chain via
         # with_extra_args_support; ReduceLROnPlateau is epoch-granular and
         # driven by the host (optimizers.PlateauTracker + plateau_scale)
@@ -154,6 +149,11 @@ def make_sliding_eval_step(model, cfg, max_instances: int = 160,
 
     @jax.jit
     def eval_step(state: TrainState, batch: dict):
+        # one val image per call (reference validates at batch 1,
+        # train.py:216-259); a larger batch would silently broadcast the
+        # single forwarded image's outputs against every target
+        assert batch["image"].shape[0] == 1, (
+            f"sliding eval expects batch 1, got {batch['image'].shape[0]}")
         targets = prepare_targets(batch, cfg, max_instances)
         params = state.params.slow if cfg.train.optimizer.lower() == "ranger" \
             else state.params

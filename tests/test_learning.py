@@ -43,6 +43,36 @@ def test_one_train_step_smoke():
     assert int(state2.step) == 1
 
 
+def test_dropout_model_trains():
+    """A model containing nn.Dropout (FullNet, drop_rate=0.1) must train —
+    the step must supply a 'dropout' RNG (regression: flax raised 'Need
+    PRNG for dropout' on the first step for every dropout model)."""
+    cfg = Config()
+    cfg.model.model_name = "FullNet"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.direction = 0
+    cfg.model.mseloss = 0
+
+    rng = np.random.RandomState(0)
+    inst = np.zeros((1, 16, 16), np.int32)
+    inst[:, 4:9, 4:9] = 1
+    batch = {
+        "image": jnp.asarray(rng.rand(1, 16, 16, 3), jnp.float32),
+        "weight": jnp.full((1, 16, 16), 20.0, jnp.float32),
+        "instance": jnp.asarray(inst),
+    }
+    model = choose_model(cfg)
+    opt = get_optimizer(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch["image"], train=False)
+    params = init_params_for(cfg.train.optimizer, variables["params"])
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=variables["batch_stats"],
+                       opt_state=opt.init(params))
+    step = make_train_step(model, cfg, opt, max_instances=4)
+    state2, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
 @pytest.mark.slow
 @pytest.mark.slowtrain
 def test_unet_fits_synthetic_tiles():

@@ -119,6 +119,39 @@ class TestComposite:
                  + comps["loss_direction_dice"] + comps["loss_mse"])
         assert float(total) == pytest.approx(float(recon), rel=1e-6)
 
+    def test_alpha2_replaces_ce_but_keeps_later_terms(self, rng):
+        """train_util_dam.py:182-189: alpha==2 sets loss = 2*loss_var and
+        the boundary/dice/direction/mse terms are STILL added afterwards
+        (the old code applied alpha after the composite, zeroing the
+        direction/point gradients)."""
+        cfg = Config()
+        cfg.train.alpha = 2
+        n, h, w = 2, 8, 8
+        outputs = {
+            "mask": rng.randn(n, h, w, 3).astype(np.float32),
+            "point": rng.randn(n, h, w, 1).astype(np.float32),
+            "direction": rng.randn(n, h, w, 9).astype(np.float32),
+        }
+        mask_t = rng.randint(0, 3, (n, h, w))
+        dir_t = rng.randint(0, 9, (n, h, w))
+        targets = {
+            "mask": mask_t,
+            "mask_onehot": np.eye(3, dtype=np.float32)[mask_t],
+            "weight": (rng.rand(n, h, w)).astype(np.float32),
+            "point": rng.rand(n, h, w, 1).astype(np.float32),
+            "direction": dir_t,
+            "direction_onehot": np.eye(9, dtype=np.float32)[dir_t],
+        }
+        total, comps = losses.composite_loss(outputs, targets, cfg)
+        assert "loss_var" in comps
+        recon = (2.0 * comps["loss_var"] + comps["loss_dice"]
+                 + comps["loss_direction_CE"] + comps["loss_direction_dice"]
+                 + comps["loss_mse"])
+        assert float(total) == pytest.approx(float(recon), rel=1e-5)
+        # loss_CE is reported but NOT part of the total under alpha==2
+        assert float(total) != pytest.approx(
+            float(recon + comps["loss_CE"]), rel=1e-3)
+
     def test_no_direction_config(self, rng):
         cfg = Config()
         cfg.model.direction = 0
@@ -166,3 +199,31 @@ class TestOptimizers:
         s = O.make_schedule(cfg, steps_per_epoch=1)
         assert s(0) == pytest.approx(cfg.train.lr)
         assert s(5) == pytest.approx(cfg.train.lr)  # restart at T_0=5
+
+
+class TestFocalSigmoid:
+    @pytest.mark.parametrize("robust", [False, True])
+    def test_vs_reference_module(self, rng, robust):
+        """Element-wise SIGMOID binary focal — the reference constructs
+        FocalLoss2d()/RobustFocalLoss2d() with the default type='sigmoid'
+        (train_util_dam.py:31,34; loss.py:36-126). Oracle replicates the
+        torch module verbatim (minus .cuda())."""
+        logits = rand_logits(rng)
+        mask_t = rng.randint(0, 3, (2, 8, 8))
+        onehot = np.eye(3, dtype=np.float32)[mask_t]
+        got = float(losses.focal_loss(logits, onehot, robust=robust))
+
+        logit = torch.from_numpy(np.transpose(logits, (0, 3, 1, 2)))
+        target = torch.from_numpy(
+            np.transpose(onehot, (0, 3, 1, 2))).reshape(-1, 1).long()
+        prob = torch.sigmoid(logit).reshape(-1, 1)
+        prob = torch.cat((1 - prob, prob), 1)
+        select = torch.zeros(len(prob), 2)
+        select.scatter_(1, target, 1.0)
+        p = (prob * select).sum(1).view(-1, 1)
+        p = torch.clamp(p, 1e-8, 1 - 1e-8)
+        focus = torch.pow(1 - p, 2)
+        if robust:
+            focus = torch.clamp(focus, 0, 2)
+        want = float((-focus * p.log()).mean())
+        assert got == pytest.approx(want, rel=1e-5)

@@ -115,7 +115,8 @@ class TestParams:
 @pytest.mark.slowzoo
 class TestExtendedZoo:
     @pytest.mark.parametrize("name", ["UNet_resnet50", "SegNet", "PSPNet",
-                                      "DeepLab", "FCN8", "HRNet18"])
+                                      "DeepLab", "FCN8", "HRNet18",
+                                      "FCN_pooling"])
     def test_forward_shapes(self, name):
         model = choose_model(cfg_for(name))
         _, out = _init_apply(model, (1, 64, 64, 3))
