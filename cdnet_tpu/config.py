@@ -280,6 +280,11 @@ def parse_args(argv: list[str] | None = None, is_train: bool = True) -> Config:
     parser, converters = build_parser(is_train)
     ns = parser.parse_args(argv)
     cfg = Config.from_json(ns.config_json) if ns.config_json else Config()
+    # paths carried by the JSON are as explicit as CLI flags — without this
+    # the _PATH_FIELDS reset below silently re-derived e.g. data_dir to the
+    # ./data/<dataset> default, reading the wrong dataset
+    json_paths = {(sec, name) for sec, name in _PATH_FIELDS
+                  if ns.config_json and getattr(getattr(cfg, sec), name)}
     cfg.is_train = is_train
     if ns.dataset:
         cfg.dataset = ns.dataset
@@ -292,9 +297,9 @@ def parse_args(argv: list[str] | None = None, is_train: bool = True) -> Config:
         setattr(getattr(cfg, sec), name, conv(val))
         explicit.add((sec, name))
     # re-derive dependent paths from the final flag values, keeping any path
-    # the user set explicitly
+    # the user set explicitly (CLI flag or config-json value)
     for sec, name in _PATH_FIELDS:
-        if (sec, name) not in explicit:
+        if (sec, name) not in explicit and (sec, name) not in json_paths:
             setattr(getattr(cfg, sec), name, "")
     cfg.__post_init__()
     return cfg

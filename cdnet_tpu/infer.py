@@ -104,6 +104,13 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
         variables = jax.device_put(variables)
     model_fn = make_model_fn(model, mesh)
     use_tta = cfg.test.tta
+    if use_tta and image_hw[0] != image_hw[1]:
+        # T.expand mixes rot90 views with flips in one stacked tensor, which
+        # requires H == W; without this check a non-square image fails at
+        # trace time with a cryptic broadcast error
+        raise ValueError(
+            f"TTA (tta=1) requires square images, got {image_hw}; pad/crop "
+            f"the tile or run with --tta 0")
     patch, overlap = cfg.test.patch_size, cfg.test.overlap
     whole = cfg.test.all_img_test == 1
     dc = cfg.model.direction_classes
@@ -285,12 +292,27 @@ def main(argv=None):
         print(f"migrated reference checkpoint {ns.reference_checkpoint}")
     elif os.path.exists(cfg.test.model_path + ".msgpack") or \
             os.path.exists(cfg.test.model_path):
+        target_params = jax.device_get(variables["params"])
+        # ranger checkpoints store params as a LookaheadParams {fast, slow}
+        # pair — peek at the raw tree and restore into the matching target,
+        # evaluating the SLOW (averaged) weights like the reference
+        path = cfg.test.model_path
+        path = path if path.endswith(".msgpack") else path + ".msgpack"
+        from flax import serialization
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        lookahead = isinstance(raw.get("params"), dict) and \
+            set(raw["params"].keys()) == {"fast", "slow"}
+        tgt = {"fast": target_params, "slow": target_params} if lookahead \
+            else target_params
         state, _ = load_checkpoint(cfg.test.model_path, {
-            "params": jax.device_get(variables["params"]),
+            "params": tgt,
             "batch_stats": jax.device_get(variables.get("batch_stats", {}))})
-        variables = {"params": state["params"],
+        params = state["params"]["slow"] if lookahead else state["params"]
+        variables = {"params": params,
                      "batch_stats": state["batch_stats"]}
-        print(f"loaded {cfg.test.model_path}")
+        print(f"loaded {cfg.test.model_path}"
+              + (" (lookahead slow weights)" if lookahead else ""))
     else:
         print(f"WARNING: no checkpoint at {cfg.test.model_path}; random weights")
 
@@ -301,6 +323,11 @@ def main(argv=None):
         label_dir = cfg.test.label_dir
         items = []
         for f in sorted(os.listdir(img_dir)):
+            # skip strays (Thumbs.db, mean_std.npy, ...): one bad file would
+            # abort the whole evaluation loop
+            if not f.lower().endswith((".png", ".jpg", ".jpeg", ".tif",
+                                       ".tiff", ".bmp", ".npy")):
+                continue
             stem = os.path.splitext(f)[0]
             lbl = None
             for ext in (".npy", ".mat", ".png", ".xml"):
@@ -366,6 +393,14 @@ def main(argv=None):
             if is_xml:
                 from cdnet_tpu.metrics.objects import read_annotation_xml
                 gt = read_annotation_xml(lbl_path, img.shape[:2])
+            elif lbl_path.endswith(".png"):
+                # open WITHOUT an RGB convert: 16/32-bit instance-id PNGs
+                # would have every id above 255 clipped, merging hundreds
+                # of GT nuclei and corrupting AJI/Dice/PQ silently
+                from PIL import Image
+                gt = np.asarray(Image.open(lbl_path))
+                if gt.ndim == 3:
+                    gt = gt[..., 0]
             else:
                 gt = np.asarray(img_loader(lbl_path))
                 if gt.ndim == 3:

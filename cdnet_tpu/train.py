@@ -247,7 +247,9 @@ def main(argv=None):
         restored, epoch = load_checkpoint(cfg.train.checkpoint,
                                           jax.device_get(state))
         state = jax.tree.map(jnp.asarray, restored)
-        start_epoch = epoch
+        # the meta records the last COMPLETED epoch; resume at the next one
+        # (the reference stores epoch+1 for the same reason, train.py:423)
+        start_epoch = epoch + 1
         # host-side scheduler/selection state travels in the meta JSON (the
         # reference's checkpoint dict carries best_iou + the torch
         # optimizer's reduced lr, train.py:293-306); without this a resumed
@@ -269,22 +271,36 @@ def main(argv=None):
     metric_keys = None
     for epoch in range(start_epoch, cfg.train.num_epochs):
         t0 = time.time()
-        meter = AverageMeter(len(metric_keys) if metric_keys else 1)
+        dev_sums = None
+        n_seen = 0
         for it, batch in enumerate(batches_of(dataset, cfg.train.batch_size,
                                               data_rng,
                                               native_crop=native_crop)):
             state, metrics = train_step(state, shard_batch(batch, mesh))
             if metric_keys is None:
                 metric_keys = sorted(metrics.keys())
-                meter = AverageMeter(len(metric_keys))
-            meter.update([float(metrics[k]) for k in metric_keys],
-                         batch["image"].shape[0])
+            bs = batch["image"].shape[0]
+            # accumulate metric sums ON DEVICE: fetching every scalar each
+            # step blocks the host on the just-dispatched program (~35 ms
+            # tunnel round-trip per fetch); sums are pulled only at log
+            # points and epoch end, so dispatch stays pipelined
+            if dev_sums is None:
+                dev_sums = {k: metrics[k] * bs for k in metric_keys}
+            else:
+                dev_sums = {k: dev_sums[k] + metrics[k] * bs
+                            for k in metric_keys}
+            n_seen += bs
             if it % cfg.train.log_interval == 0:
-                msg = "  ".join(f"{k}={v:.4f}" for k, v in
-                                zip(metric_keys, meter.avg))
+                msg = "  ".join(f"{k}={float(dev_sums[k]) / n_seen:.4f}"
+                                for k in metric_keys)
                 logger.info(f"\tepoch {epoch} it {it}: {msg}")
 
-        train_avg = dict(zip(metric_keys or [], meter.avg))
+        if dev_sums is None:
+            raise RuntimeError(
+                f"epoch {epoch} yielded no training batches: len(dataset)="
+                f"{len(dataset)} with batch_size={cfg.train.batch_size} "
+                f"(drop_last) — lower --batch-size or add data")
+        train_avg = {k: float(dev_sums[k]) / n_seen for k in metric_keys}
         # validation=0 default: val metrics = train metrics (train.py:379-387)
         if cfg.train.validation:
             # held-out val images, batch 1, sliding-window forward

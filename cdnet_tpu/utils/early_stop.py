@@ -21,12 +21,17 @@ class EarlyStopping:
         self.early_stop = False
 
     def __call__(self, val_loss: float, epoch: int = 0) -> bool:
+        # reference branch order (utils.py:1016-1027): a score EQUAL to the
+        # best (score < best + delta false at delta=0) counts as an
+        # improvement and RESETS the counter; the counter accrues at every
+        # non-improving epoch but only triggers the stop once
+        # epoch >= min_epoch
         score = -val_loss
-        if self.best_score is None or score > self.best_score + self.delta:
+        if self.best_score is not None and score < self.best_score + self.delta:
+            self.counter += 1
+            if self.counter >= self.patience and epoch >= self.min_epoch:
+                self.early_stop = True
+        else:
             self.best_score = score
             self.counter = 0
-        elif epoch >= self.min_epoch:
-            self.counter += 1
-            if self.counter >= self.patience:
-                self.early_stop = True
         return self.early_stop

@@ -325,3 +325,20 @@ class TestTimer:
         s = t.summary()
         assert s["a"]["count"] == 2
         assert "a" in t.report()
+
+
+class TestConfigJsonPaths:
+    def test_json_paths_survive_rederivation(self, tmp_path):
+        """--config-json path values are as explicit as CLI flags: the
+        _PATH_FIELDS re-derivation must not reset them to the ./data/<ds>
+        defaults (regression: training silently read the wrong dataset)."""
+        from cdnet_tpu.config import Config, parse_args
+        cfg = Config()
+        cfg.train.data_dir = "/mnt/datasets/foo"
+        p = str(tmp_path / "cfg.json")
+        cfg.to_json(p)
+        out = parse_args(["--config-json", p])
+        assert out.train.data_dir == "/mnt/datasets/foo"
+        # an explicit CLI flag still wins over the JSON
+        out2 = parse_args(["--config-json", p, "--data-dir", "/other"])
+        assert out2.train.data_dir == "/other"
