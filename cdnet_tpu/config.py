@@ -279,12 +279,21 @@ def parse_args(argv: list[str] | None = None, is_train: bool = True) -> Config:
     """Build a Config from CLI flags (reference `Options(isTrain).parse()`)."""
     parser, converters = build_parser(is_train)
     ns = parser.parse_args(argv)
-    cfg = Config.from_json(ns.config_json) if ns.config_json else Config()
     # paths carried by the JSON are as explicit as CLI flags — without this
     # the _PATH_FIELDS reset below silently re-derived e.g. data_dir to the
-    # ./data/<dataset> default, reading the wrong dataset
-    json_paths = {(sec, name) for sec, name in _PATH_FIELDS
-                  if ns.config_json and getattr(getattr(cfg, sec), name)}
+    # ./data/<dataset> default, reading the wrong dataset. Only keys actually
+    # PRESENT in the JSON count: from_dict runs __post_init__, which fills
+    # every empty path field, so the constructed Config can't distinguish
+    # JSON-explicit paths from derived defaults.
+    if ns.config_json:
+        with open(ns.config_json) as f:
+            raw = json.load(f)
+        cfg = Config.from_dict(raw)
+        json_paths = {(sec, name) for sec, name in _PATH_FIELDS
+                      if raw.get(sec, {}).get(name)}
+    else:
+        cfg = Config()
+        json_paths = set()
     cfg.is_train = is_train
     if ns.dataset:
         cfg.dataset = ns.dataset

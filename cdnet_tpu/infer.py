@@ -27,7 +27,7 @@ from cdnet_tpu.ops import tta as T
 from cdnet_tpu.ops.ddm import generate_dd_maps_batch
 from cdnet_tpu.ops.postproc import enhance_boundary_cf, instances_from_pred
 from cdnet_tpu.ops.sliding_window import split_forward
-from cdnet_tpu.utils import AverageMeter, load_checkpoint
+from cdnet_tpu.utils import AverageMeter
 
 
 def make_model_fn(model, mesh=None):
@@ -305,9 +305,12 @@ def main(argv=None):
             set(raw["params"].keys()) == {"fast", "slow"}
         tgt = {"fast": target_params, "slow": target_params} if lookahead \
             else target_params
-        state, _ = load_checkpoint(cfg.test.model_path, {
+        # reuse the already-restored raw tree (from_bytes == msgpack_restore
+        # + from_state_dict) — checkpoints are ~80 MB, don't parse twice
+        state = serialization.from_state_dict({
             "params": tgt,
-            "batch_stats": jax.device_get(variables.get("batch_stats", {}))})
+            "batch_stats": jax.device_get(variables.get("batch_stats", {}))},
+            raw)
         params = state["params"]["slow"] if lookahead else state["params"]
         variables = {"params": params,
                      "batch_stats": state["batch_stats"]}

@@ -174,7 +174,7 @@ def make_sliding_eval_step(model, cfg, max_instances: int = 160,
             out["point"] = st["point"][None, ..., None]
         if "direction" in st:
             out["direction"] = jnp.moveaxis(st["direction"], 0, -1)[None]
-        _, comps = losses.composite_loss(out, targets, cfg)
+        _, comps = losses.composite_loss(out, targets, cfg, max_instances)
         pred = jnp.argmax(out["mask"], axis=-1)
         metrics = dict(comps)
         metrics.update(pixel_metrics_device(pred, targets["mask"]))
@@ -200,7 +200,7 @@ def make_eval_step(model, cfg, max_instances: int = 160,
             else state.params
         out = model.apply({"params": params, "batch_stats": state.batch_stats},
                           batch["image"], train=False)
-        _, comps = losses.composite_loss(out, targets, cfg)
+        _, comps = losses.composite_loss(out, targets, cfg, max_instances)
         pred = jnp.argmax(out["mask"], axis=-1)
         metrics = dict(comps)
         metrics.update(pixel_metrics_device(pred, targets["mask"]))

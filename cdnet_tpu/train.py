@@ -85,6 +85,15 @@ def build_val_dataset(cfg, synthetic: int = 0,
                       num_channels=cfg.model.in_c, data_transform=tf)
 
 
+def _instance_ids(inst) -> np.ndarray:
+    """Instance-id plane of a label array: 3-channel label PNGs carry the
+    ids in channel 0 (my_transforms_direction.py:718)."""
+    inst = np.asarray(inst)
+    if inst.ndim == 3:
+        inst = inst[..., 0]
+    return inst.astype(np.int32)
+
+
 def batches_of(dataset, batch_size: int, rng: np.random.RandomState,
                drop_last: bool = True, native_crop: int = 0):
     """Shuffled epoch iterator assembling device-ready dict batches.
@@ -108,10 +117,7 @@ def batches_of(dataset, batch_size: int, rng: np.random.RandomState,
         for img, wmap, inst in samples:
             imgs.append(np.asarray(img, np.float32))
             weights.append(np.asarray(wmap, np.float32))
-            inst = np.asarray(inst)
-            if inst.ndim == 3:  # 3-channel label PNG: ids live in channel 0
-                inst = inst[..., 0]  # (my_transforms_direction.py:718)
-            insts.append(inst.astype(np.int32))
+            insts.append(_instance_ids(inst))
         yield {"image": np.stack(imgs), "weight": np.stack(weights),
                "instance": np.stack(insts)}
 
@@ -309,12 +315,10 @@ def main(argv=None):
             obj_meter = AverageMeter(7)
             for vi in range(len(val_dataset)):
                 img, wmap, inst = val_dataset[vi]
-                inst = np.asarray(inst)
-                if inst.ndim == 3:  # 3-channel label PNG, ids in channel 0
-                    inst = inst[..., 0]  # same as batches_of above
+                inst = _instance_ids(inst)
                 batch = {"image": np.asarray(img, np.float32)[None],
                          "weight": np.asarray(wmap, np.float32)[None],
-                         "instance": inst.astype(np.int32)[None]}
+                         "instance": inst[None]}
                 if ns.do_object_metric:
                     vm, pred, mask3c = eval_step(state, batch)
                     # reference do_object_metric (train_util_dam.py:589-605):

@@ -342,3 +342,19 @@ class TestConfigJsonPaths:
         # an explicit CLI flag still wins over the JSON
         out2 = parse_args(["--config-json", p, "--data-dir", "/other"])
         assert out2.train.data_dir == "/other"
+
+    def test_partial_json_still_rederives_paths(self, tmp_path):
+        """Only paths actually PRESENT in the JSON are explicit. A partial
+        JSON (no path keys) combined with --dataset must re-derive data_dir
+        for the flag's dataset, not keep the default-dataset path that
+        __post_init__ filled in during from_dict (regression: --config-json
+        + --dataset silently trained on the wrong dataset)."""
+        import json as _json
+        from cdnet_tpu.config import parse_args
+        p = str(tmp_path / "partial.json")
+        with open(p, "w") as f:
+            _json.dump({"train": {"batch_size": 4}}, f)
+        out = parse_args(["--config-json", p, "--dataset", "CPM17"])
+        assert out.train.batch_size == 4
+        assert out.dataset == "CPM17"
+        assert "CPM17" in out.train.data_dir
