@@ -170,9 +170,9 @@ class HRNet18DAM(nn.Module):
         if not self.with_dam:
             x = ConvBN(cat.shape[-1], kernel=(1, 1), dtype=self.dtype,
                        name="last_layer")(cat, train)
-            logits = nn.Conv(self.out_c, (1, 1), dtype=jnp.float32,
+            logits = nn.Conv(self.out_c, (1, 1), dtype=self.dtype,
                              param_dtype=jnp.float32,
-                             name="final_conv")(x.astype(jnp.float32))
+                             name="final_conv")(x).astype(jnp.float32)
             return {"mask": logits}
         return DAMHead(out_c=self.out_c,
                        direction_classes=self.direction_classes,

@@ -96,6 +96,12 @@ class DAMHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # The 1x1 projections run in self.dtype and cast their (1/9/3-channel)
+        # OUTPUT to f32: the previous input-side `.astype(f32)` materialized a
+        # full-resolution 64-channel f32 copy per head (2.1 GB/view-batch at
+        # 8x1024^2 — pure HBM traffic). The MXU accumulates in f32 either way;
+        # only the logits' final rounding changes (bf16-grade, well inside the
+        # 2e-3 torch-parity band). With dtype=float32 nothing changes.
         f32 = jnp.float32
         x_f1 = ResidualUnit(64, dtype=self.dtype, name="mask_feature")(x, train)
         outputs = {}
@@ -104,24 +110,25 @@ class DAMHead(nn.Module):
             x_f2 = ResidualUnit(64, dtype=self.dtype, name="direction_feature")(x_f1, train)
         if self.with_point:
             x_f3 = ResidualUnit(64, dtype=self.dtype, name="point_feature")(x_f2, train)
-            x_point = nn.Conv(1, (1, 1), dtype=f32, param_dtype=f32,
-                              name="point_conv")(x_f3.astype(f32))
+            x_point = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=f32,
+                              name="point_conv")(x_f3).astype(f32)
             outputs["point"] = x_point
         if self.with_direction:
             feat = x_f2
             if self.use_attention and self.with_point:
                 feat = RevAttention(dtype=self.dtype, name="directionAtt")(
                     x_f2, x_point.astype(self.dtype))
-            x_direction = nn.Conv(self.direction_classes, (1, 1), dtype=f32,
-                                  param_dtype=f32, name="direction_conv")(
-                feat.astype(f32))
+            x_direction = nn.Conv(self.direction_classes, (1, 1),
+                                  dtype=self.dtype, param_dtype=f32,
+                                  name="direction_conv")(feat).astype(f32)
             outputs["direction"] = x_direction
         feat1 = x_f1
         if self.use_attention and self.with_direction:
             feat1 = RevAttention(dtype=self.dtype, name="maskAtt")(
                 x_f1, x_direction.astype(self.dtype))
-        outputs["mask"] = nn.Conv(self.out_c, (1, 1), dtype=f32, param_dtype=f32,
-                                  name="mask_conv")(feat1.astype(f32))
+        outputs["mask"] = nn.Conv(self.out_c, (1, 1), dtype=self.dtype,
+                                  param_dtype=f32,
+                                  name="mask_conv")(feat1).astype(f32)
         return outputs
 
 

@@ -112,7 +112,7 @@ class UNetResNet(nn.Module):
         skip_list = [skips[3], skips[2], skips[1], skips[0], None]
         for feats, skip in zip((256, 128, 64, 32, 16), skip_list):
             x = UpsampleBlock(feats, dtype=self.dtype)(x, skip, train)
-        logits = nn.Conv(self.out_c, (1, 1), dtype=jnp.float32,
+        logits = nn.Conv(self.out_c, (1, 1), dtype=self.dtype,
                          param_dtype=jnp.float32,
-                         name="final_conv")(x.astype(jnp.float32))
+                         name="final_conv")(x).astype(jnp.float32)
         return {"mask": logits}

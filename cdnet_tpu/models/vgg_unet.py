@@ -69,9 +69,11 @@ class UNetVGG16(nn.Module):
         for feats, skip in zip((256, 128, 64, 32, 16), reversed(skips)):
             x = UpsampleBlock(feats, dtype=self.dtype)(x, skip, train)
         if not self.with_dam:
-            logits = nn.Conv(self.out_c, (1, 1), dtype=jnp.float32,
+            # 1x1 projection in self.dtype, small-channel output cast to f32
+            # (avoids a full-res f32 input copy; see DAMHead layout note)
+            logits = nn.Conv(self.out_c, (1, 1), dtype=self.dtype,
                              param_dtype=jnp.float32,
-                             name="final_conv")(x.astype(jnp.float32))
+                             name="final_conv")(x).astype(jnp.float32)
             return {"mask": logits}
         return DAMHead(out_c=self.out_c,
                        direction_classes=self.direction_classes,
