@@ -17,11 +17,22 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cdnet_tpu.ops import pallas_conv
+
 Dtype = Any
 
 
 class ConvBN(nn.Module):
-    """Conv -> BatchNorm -> (optional) activation; the XLA-fused workhorse."""
+    """Conv -> BatchNorm -> (optional) activation; the XLA-fused workhorse.
+
+    At inference on TPU, stride-1 SAME 3x3 convs with 64 output channels
+    route through the fused Pallas supertile kernel
+    (:mod:`cdnet_tpu.ops.pallas_conv`): XLA runs such convs at ~1/4 MXU
+    occupancy, and they dominate the DAM head (experiments/PERF.md §3).
+    The BN affine and ReLU fold into the kernel's f32 epilogue, so the
+    whole block is one HBM round-trip. Training and all other shapes keep
+    the XLA path (same parameters either way — checkpoint layout is
+    unchanged)."""
     features: int
     kernel: tuple[int, int] = (3, 3)
     strides: tuple[int, int] = (1, 1)
@@ -35,14 +46,44 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, self.kernel, strides=self.strides,
-                    padding=self.padding, use_bias=self.use_bias,
-                    kernel_dilation=self.dilation,
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
-        if self.bn:
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=self.bn_momentum, dtype=self.dtype,
-                             param_dtype=jnp.float32)(x)
+        conv = nn.Conv(self.features, self.kernel, strides=self.strides,
+                       padding=self.padding, use_bias=self.use_bias,
+                       kernel_dilation=self.dilation, name="Conv_0",
+                       dtype=self.dtype, param_dtype=jnp.float32)
+        norm = nn.BatchNorm(use_running_average=not train,
+                            momentum=self.bn_momentum, dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            name="BatchNorm_0") if self.bn else None
+        if (pallas_conv.fused_conv_applicable(
+                train=train, kernel=self.kernel, strides=self.strides,
+                dilation=self.dilation, padding=self.padding,
+                cout=self.features, dtype=self.dtype)
+                and self.act in (nn.relu, None)):
+            # bind the submodule params without running the XLA ops (the
+            # 1x1 dummy is dead code XLA removes), then fold BN + bias into
+            # the kernel's affine epilogue
+            y = conv(x[:1, :1, :1, :])
+            if norm is not None:
+                norm(y)
+            params = self.variables["params"]
+            kern = params["Conv_0"]["kernel"]
+            scale = jnp.ones((self.features,), jnp.float32)
+            offset = (params["Conv_0"]["bias"].astype(jnp.float32)
+                      if self.use_bias
+                      else jnp.zeros((self.features,), jnp.float32))
+            if norm is not None:
+                st = self.variables["batch_stats"]["BatchNorm_0"]
+                bp = params["BatchNorm_0"]
+                inv = bp["scale"] * jax.lax.rsqrt(st["var"] + 1e-5)
+                scale = inv
+                offset = bp["bias"] + (offset - st["mean"]) * inv
+            return pallas_conv.conv3x3_affine_act(
+                x.astype(self.dtype), kern, scale, offset,
+                relu=self.act is nn.relu,
+                interpret=jax.default_backend() != "tpu")
+        x = conv(x)
+        if norm is not None:
+            x = norm(x)
         if self.act is not None:
             x = self.act(x)
         return x

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from cdnet_tpu.ops import ddm
 
@@ -34,3 +35,77 @@ class TestDDMKernel:
             got = np.asarray(generate_dd_maps_pallas(labs, 9))
         want = np.stack([np.asarray(ddm.generate_dd_map(l, 9)) for l in labs])
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestFusedConv:
+    """Fused 3x3 conv + BN-affine + ReLU supertile kernel
+    (ops/pallas_conv.py; used by ConvBN at inference on TPU)."""
+
+    @pytest.mark.parametrize("shape,cin,relu", [
+        ((2, 16, 24), 16, True),     # DAM mask_feature first conv (16->64)
+        ((1, 8, 10), 64, False),     # 64->64, odd W, no act
+        ((2, 13, 9), 64, True),      # odd H and W (pad/slice path)
+    ])
+    def test_matches_xla_conv(self, shape, cin, relu):
+        from cdnet_tpu.ops.pallas_conv import conv3x3_affine_act
+        rng = np.random.RandomState(0)
+        n, h, w = shape
+        x = jnp.asarray(rng.randn(n, h, w, cin), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, cin, 64) * 0.1, jnp.float32)
+        s = jnp.asarray(rng.rand(64) + 0.5, jnp.float32)
+        o = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) * s + o
+        if relu:
+            ref = jnp.maximum(ref, 0)
+        got = conv3x3_affine_act(x, k, s, o, relu=relu, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_vmap_folds_into_batch(self):
+        from cdnet_tpu.ops.pallas_conv import conv3x3_affine_act
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(3, 2, 8, 8, 64), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, 64, 64) * 0.1, jnp.float32)
+        s = jnp.ones((64,), jnp.float32)
+        o = jnp.zeros((64,), jnp.float32)
+        got = jax.vmap(lambda t: conv3x3_affine_act(
+            t, k, s, o, interpret=True))(x)
+        want = jnp.stack([conv3x3_affine_act(t, k, s, o, interpret=True)
+                          for t in x])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_convbn_fused_path_matches_xla(self):
+        """ConvBN with the kernel forced on == the XLA path at bf16
+        tolerance, with an identical parameter tree (checkpoint layout)."""
+        from flax import linen as nn
+        from cdnet_tpu.models.layers import ConvBN
+        from cdnet_tpu.ops import pallas_conv
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.rand(2, 16, 20, 64), jnp.float32)
+        m = ConvBN(64, dtype=jnp.bfloat16)
+        v = m.init(jax.random.PRNGKey(0), x)
+        v = dict(v)
+        v["batch_stats"] = {"BatchNorm_0": {
+            "mean": jnp.asarray(rng.randn(64) * 0.1, jnp.float32),
+            "var": jnp.asarray(rng.rand(64) + 0.5, jnp.float32)}}
+        v["params"] = dict(v["params"])
+        v["params"]["BatchNorm_0"] = {
+            "scale": jnp.asarray(rng.rand(64) + 0.5, jnp.float32),
+            "bias": jnp.asarray(rng.randn(64) * 0.1, jnp.float32)}
+        old = pallas_conv.MODE
+        try:
+            pallas_conv.MODE = "off"
+            ref = m.apply(v, x).astype(jnp.float32)
+            pallas_conv.MODE = "force"
+            got = m.apply(v, x).astype(jnp.float32)
+        finally:
+            pallas_conv.MODE = old
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=0.05)
+        # train path is always XLA (gradients + batch-stats updates)
+        assert not pallas_conv.fused_conv_applicable(
+            train=True, kernel=(3, 3), strides=(1, 1), dilation=(1, 1),
+            padding="SAME", cout=64, dtype=jnp.bfloat16)
