@@ -67,16 +67,12 @@ class ConvBN(nn.Module):
                 norm(y)
             params = self.variables["params"]
             kern = params["Conv_0"]["kernel"]
-            scale = jnp.ones((self.features,), jnp.float32)
-            offset = (params["Conv_0"]["bias"].astype(jnp.float32)
-                      if self.use_bias
-                      else jnp.zeros((self.features,), jnp.float32))
-            if norm is not None:
-                st = self.variables["batch_stats"]["BatchNorm_0"]
-                bp = params["BatchNorm_0"]
-                inv = bp["scale"] * jax.lax.rsqrt(st["var"] + 1e-5)
-                scale = inv
-                offset = bp["bias"] + (offset - st["mean"]) * inv
+            scale, offset = pallas_conv.fold_affine(
+                self.features,
+                params["Conv_0"]["bias"] if self.use_bias else None,
+                params.get("BatchNorm_0") if norm is not None else None,
+                self.variables["batch_stats"]["BatchNorm_0"]
+                if norm is not None else None)
             return pallas_conv.conv3x3_affine_act(
                 x.astype(self.dtype), kern, scale, offset,
                 relu=self.act is nn.relu,

@@ -14,10 +14,12 @@ import through :mod:`cdnet_tpu.models.weights`.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from cdnet_tpu.models.layers import ConvBN, DAMHead, UpsampleBlock
+from cdnet_tpu.ops import pallas_conv
 
 # VGG16 conv plan: (block, channels); skips taken after each block's last relu
 _VGG16_BLOCKS = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
@@ -37,13 +39,31 @@ class VGG16Backbone(nn.Module):
         idx = 0
         for n_convs, ch in _VGG16_BLOCKS:
             for _ in range(n_convs):
-                x = nn.Conv(ch, (3, 3), padding="SAME", use_bias=True,
-                            dtype=self.dtype, param_dtype=jnp.float32,
-                            name=f"conv_{idx}")(x)
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 dtype=self.dtype, param_dtype=jnp.float32,
-                                 name=f"bn_{idx + 1}")(x)
-                x = nn.relu(x)
+                conv = nn.Conv(ch, (3, 3), padding="SAME", use_bias=True,
+                               dtype=self.dtype, param_dtype=jnp.float32,
+                               name=f"conv_{idx}")
+                norm = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, dtype=self.dtype,
+                                    param_dtype=jnp.float32,
+                                    name=f"bn_{idx + 1}")
+                if (x.shape[-1] == ch and pallas_conv.fused_conv_applicable(
+                        train=train, kernel=(3, 3), strides=(1, 1),
+                        dilation=(1, 1), padding="SAME", cout=ch,
+                        dtype=self.dtype)):
+                    # block-1's full-resolution 64->64 conv: route through
+                    # the fused supertile kernel (see ConvBN docstring);
+                    # the dummy 1x1 call binds params without XLA compute
+                    norm(conv(x[:1, :1, :1, :]))
+                    p = self.variables["params"]
+                    scale, offset = pallas_conv.fold_affine(
+                        ch, p[f"conv_{idx}"]["bias"], p[f"bn_{idx + 1}"],
+                        self.variables["batch_stats"][f"bn_{idx + 1}"])
+                    x = pallas_conv.conv3x3_affine_act(
+                        x.astype(self.dtype), p[f"conv_{idx}"]["kernel"],
+                        scale, offset, relu=True,
+                        interpret=jax.default_backend() != "tpu")
+                else:
+                    x = nn.relu(norm(conv(x)))
                 idx += 3  # conv, bn, relu
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))

@@ -181,6 +181,21 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
     return out[:, :h, :w, :]
 
 
+def fold_affine(features: int, conv_bias, bn_params, bn_stats,
+                eps: float = 1e-5):
+    """(scale, offset) f32 per-channel affine equivalent to
+    [+bias] -> BatchNorm(inference). Pass bn_params/bn_stats=None for a
+    plain conv (+bias)."""
+    scale = jnp.ones((features,), jnp.float32)
+    offset = (conv_bias.astype(jnp.float32) if conv_bias is not None
+              else jnp.zeros((features,), jnp.float32))
+    if bn_params is not None:
+        inv = bn_params["scale"] * jax.lax.rsqrt(bn_stats["var"] + eps)
+        offset = bn_params["bias"] + (offset - bn_stats["mean"]) * inv
+        scale = inv
+    return scale, offset
+
+
 def fused_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
                           dilation: tuple, padding, cout: int,
                           dtype) -> bool:

@@ -109,3 +109,27 @@ class TestFusedConv:
         assert not pallas_conv.fused_conv_applicable(
             train=True, kernel=(3, 3), strides=(1, 1), dilation=(1, 1),
             padding="SAME", cout=64, dtype=jnp.bfloat16)
+
+    def test_flagship_forced_fused_matches_xla(self):
+        """UNetVGG16 (bf16) with every eligible conv routed through the
+        supertile kernel agrees with the pure-XLA program on all 3 heads
+        (backbone block-1 conv + the 6 DAM ResidualUnit convs)."""
+        from cdnet_tpu.models.vgg_unet import UNetVGG16
+        from cdnet_tpu.ops import pallas_conv
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+        m = UNetVGG16(dtype=jnp.bfloat16)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        old = pallas_conv.MODE
+        try:
+            pallas_conv.MODE = "off"
+            ref = m.apply(v, x, train=False)
+            pallas_conv.MODE = "force"
+            got = m.apply(v, x, train=False)
+        finally:
+            pallas_conv.MODE = old
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(got[k], np.float32),
+                np.asarray(ref[k], np.float32), atol=0.1,
+                err_msg=k)
