@@ -2,35 +2,38 @@
 
 Why this exists: XLA lowers a stride-1 3x3 conv with Cin=Cout=64 to nine
 accumulating (K=64, N=64) MXU passes — 50% sublane x 50% lane occupancy,
-measured ~48 TFLOP/s on the v5e (~1/4 of bf16 peak). The CDNet DAM head is
-six such convs at FULL resolution over the 8 TTA views (~3.4 TFLOP of the
-10.1 TFLOP forward; experiments/PERF.md §3), so the flagship forward runs at
-~20% MFU with post-processing already off the critical path.
+measured ~48 TFLOP/s on the v5e (~1/4 of bf16 peak); Cout=16/32 is worse
+still (12.5%/25% lane fill). The CDNet DAM head is six 64-channel convs at
+FULL resolution over the 8 TTA views (~3.4 TFLOP of the 10.1 TFLOP forward;
+experiments/PERF.md §3), so the flagship forward runs at ~20% MFU with
+post-processing already off the critical path.
 
 This kernel restructures the conv to feed the MXU properly:
 
 - **vertical K-fold**: the three kernel rows are concatenated along channels
-  (K = 3*Cin = 192 for Cin=64), turning the 9 taps into 4 column taps;
-- **width-2 supertile**: each output "column" is a pair of adjacent pixels,
-  N = 2*Cout = 128 — full lane occupancy. A pair needs input columns
-  dj in {-1,0,1,2}; tap dj contributes W[:, dj-p] to pair slot p when
-  |dj-p| <= 1, so the weights become four (3*Cin, 2*Cout) blocks (one per
-  dj, zero-filled where a slot doesn't use the tap: 12 taps vs 9 = 1.33x
-  MXU work at ~2.6x the per-pass occupancy);
-- the even/odd column split needed by the supertile is FREE in HBM: the
-  (N, H+2, W+4, Cin) padded input is bitcast-reshaped to
-  (N, H+2, (W+4)/2, 2*Cin) before the call, so each grid step DMAs a
-  row-block whose lanes already hold [even-col channels | odd-col channels];
+  (K = 3*Cin), turning the 9 taps into column taps only;
+- **width-S supertile** (S = 128 // Cout): each output "column" is a group
+  of S adjacent pixels, N = S*Cout = 128 — full lane occupancy. A group
+  needs input columns dj in {-1..S}; tap dj contributes W[:, dj-p] to group
+  slot p when |dj - p| <= 1, so the weights become S+2 blocks of
+  (3*Cin, S*Cout), zero-filled where a slot doesn't use the tap:
+  3*(S+2)/9*S... = (S+2)/S x the true MXU work (1.5x for S=2, 1.25x for
+  S=8) at up to 8x the per-pass occupancy;
+- the column mod-S split the supertile needs is FREE in HBM: the
+  (N, H+2, W+2S, Cin) padded input is bitcast-reshaped to
+  (N, H+2, (W+2S)/S, S*Cin) before the call, so each grid step DMAs a
+  row-block whose lanes already hold the S column phases;
 - BN (inference mode: a per-channel affine) and the activation are applied
   to the f32 accumulator in-VMEM, and a single bf16 result is written back —
   conv, BN and ReLU never round-trip HBM separately.
 
 Numerics: MXU accumulates in f32 (preferred_element_type); the result
-matches XLA's conv+BN+relu at bf16-rounding tolerance (tests pin 2e-2).
+matches XLA's conv+BN+relu at bf16-rounding tolerance (tests pin it).
 
-Used by :class:`cdnet_tpu.models.layers.ConvBN` at inference on TPU for
-stride-1 SAME 3x3 convs with Cout=64 (the DAM head ResidualUnits,
-model_unet_rev1.py:150-170); everything else keeps the XLA conv.
+Used by :class:`cdnet_tpu.models.layers.ConvBN` and the VGG backbone at
+inference on TPU for stride-1 SAME 3x3 convs with Cout in {16, 32, 64}
+(the DAM head ResidualUnits, model_unet_rev1.py:150-170, the decoder tail
+and the block-1 backbone conv); everything else keeps the XLA conv.
 """
 from __future__ import annotations
 
@@ -46,34 +49,37 @@ from jax.experimental.pallas import tpu as pltpu
 # mode (tests).
 MODE = "auto"
 
-_DJ_TAPS = (-1, 0, 1, 2)  # input-column offsets a width-2 output pair reads
+
+def _supertile_s(cout: int) -> int:
+    """Supertile width: pack S output pixels to fill the 128 MXU lanes."""
+    return max(1, 128 // cout)
 
 
-def _supertile_weights(kernel: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, Cin, Cout) HWIO -> (4, 3*Cin, 2*Cout) per-dj weight blocks.
+def _supertile_weights(kernel: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) HWIO -> (S+2, 3*Cin, S*Cout) per-dj weight blocks.
 
     Block dj, row k=(di, cin), col n=(p, cout) holds W[di, dj-p+1, cin, cout]
-    when |dj - p| <= 1 and 0 otherwise (p in {0, 1} is the pair slot).
+    when |dj - p| <= 1 and 0 otherwise (p in {0..S-1} is the group slot).
     """
     _, _, cin, cout = kernel.shape
     zeros = jnp.zeros((3, cin, cout), kernel.dtype)
     blocks = []
-    for dj in _DJ_TAPS:
+    for dj in range(-1, s + 1):
         slots = [kernel[:, dj - p + 1] if -1 <= dj - p <= 1 else zeros
-                 for p in (0, 1)]
-        # (3, Cin, 2, Cout) -> (3*Cin, 2*Cout); k is di-major over channels
-        blocks.append(jnp.stack(slots, axis=2).reshape(3 * cin, 2 * cout))
+                 for p in range(s)]
+        # (3, Cin, S, Cout) -> (3*Cin, S*Cout); k is di-major over channels
+        blocks.append(jnp.stack(slots, axis=2).reshape(3 * cin, s * cout))
     return jnp.stack(blocks)
 
 
 def _conv_kernel(xp_ref, w_ref, s_ref, o_ref, out_ref, blk_ref, sem,
-                 *, bh: int, t: int, cin: int, cout: int, relu: bool,
-                 out_dtype):
-    """One (bh, 2*t, cout) output row-block.
+                 *, bh: int, t: int, s: int, cin: int, cout: int,
+                 relu: bool, out_dtype):
+    """One (bh, s*t, cout) output row-block.
 
-    xp_ref: (N, H+2, t+2, 2*cin) pair-merged padded input (HBM/ANY)
-    blk_ref: (bh+2, t+2, 2*cin) VMEM scratch (row halo of 1 each side)
-    w_ref: (4, 3*cin, 2*cout); s_ref/o_ref: (1, 2*cout) f32 affine
+    xp_ref: (N, H+2, t+2, s*cin) phase-merged padded input (HBM/ANY)
+    blk_ref: (bh+2, t+2, s*cin) VMEM scratch (row halo of 1 each side)
+    w_ref: (s+2, 3*cin, s*cout); s_ref/o_ref: (1, s*cout) f32 affine
     """
     n = pl.program_id(0)
     r = pl.program_id(1)
@@ -81,18 +87,18 @@ def _conv_kernel(xp_ref, w_ref, s_ref, o_ref, out_ref, blk_ref, sem,
         xp_ref.at[n, pl.ds(r * bh, bh + 2)], blk_ref, sem)
     cp.start()
     cp.wait()
-    blk = blk_ref[...]  # (bh+2, t+2, 2*cin): lanes = [even cols | odd cols]
+    blk = blk_ref[...]  # (bh+2, t+2, s*cin): lanes = S column phases
 
     def bank(q, off):
-        # (bh, t, 3*cin): rows i-1,i,i+1 folded along lanes, parity-q columns
+        # (bh, t, 3*cin): rows i-1,i,i+1 folded along lanes, phase-q columns
         return jnp.concatenate(
             [blk[di:di + bh, off:off + t, q * cin:(q + 1) * cin]
              for di in range(3)], axis=-1)
 
-    acc = jnp.zeros((bh, t, 2 * cout), jnp.float32)
-    for i, dj in enumerate(_DJ_TAPS):
-        col = dj + 2                      # physical column (left pad = 2)
-        lhs = bank(col % 2, col // 2)
+    acc = jnp.zeros((bh, t, s * cout), jnp.float32)
+    for i, dj in enumerate(range(-1, s + 1)):
+        col = dj + s                      # physical column (left pad = s)
+        lhs = bank(col % s, col // s)
         acc = acc + jax.lax.dot_general(
             lhs, w_ref[i],
             dimension_numbers=(((2,), (0,)), ((), ())),
@@ -101,8 +107,8 @@ def _conv_kernel(xp_ref, w_ref, s_ref, o_ref, out_ref, blk_ref, sem,
     y = acc * s_ref[0] + o_ref[0]
     if relu:
         y = jnp.maximum(y, 0.0)
-    # un-supertile: (bh, t, 2*cout) -> (bh, 2*t, cout); col 2u+p is n=(p, co)
-    out_ref[0] = y.astype(out_dtype).reshape(bh, 2 * t, cout)
+    # un-supertile: (bh, t, s*cout) -> (bh, s*t, cout); col s*u+p is n=(p,co)
+    out_ref[0] = y.astype(out_dtype).reshape(bh, s * t, cout)
 
 
 @functools.partial(jax.jit, static_argnames=("relu", "interpret", "bh"))
@@ -145,36 +151,39 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
     n, h, w, cin = x.shape
     cout = kernel.shape[-1]
     assert kernel.shape[:3] == (3, 3, cin), kernel.shape
-    # geometry: rows blocked by bh (pad H up), width supertiled by 2
+    s = _supertile_s(cout)
+    # geometry: rows blocked by bh (pad H up), width supertiled by S with a
+    # left pad of S columns so every tap's phase/offset is non-negative
     hp = -(-h // bh) * bh
-    wp = w + (w % 2)
-    xp = jnp.pad(x, ((0, 0), (1, 1 + hp - h), (2, 2 + wp - w), (0, 0)))
-    t = (wp + 4) // 2 - 2
-    # even/odd pair-merge is free in HBM: row-major (..., W+4, Cin) is
-    # bit-identical to (..., (W+4)/2, 2*Cin)
-    xp2 = xp.reshape(n, hp + 2, t + 2, 2 * cin)
+    t = -(-w // s)
+    xp = jnp.pad(x, ((0, 0), (1, 1 + hp - h),
+                     (s, s * (t + 2) - s - w), (0, 0)))
+    # column phase-merge is free in HBM: row-major (..., S*(T+2), Cin) is
+    # bit-identical to (..., T+2, S*Cin)
+    xp2 = xp.reshape(n, hp + 2, t + 2, s * cin)
 
-    w_blocks = _supertile_weights(kernel.astype(x.dtype))
-    s2 = jnp.tile(scale.astype(jnp.float32), 2)[None]   # (1, 2*Cout)
-    o2 = jnp.tile(offset.astype(jnp.float32), 2)[None]
+    w_blocks = _supertile_weights(kernel.astype(x.dtype), s)
+    s2 = jnp.tile(scale.astype(jnp.float32), s)[None]   # (1, S*Cout)
+    o2 = jnp.tile(offset.astype(jnp.float32), s)[None]
 
     out = pl.pallas_call(
-        functools.partial(_conv_kernel, bh=bh, t=t, cin=cin, cout=cout,
+        functools.partial(_conv_kernel, bh=bh, t=t, s=s, cin=cin, cout=cout,
                           relu=relu, out_dtype=x.dtype),
         grid=(n, hp // bh),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((4, 3 * cin, 2 * cout), lambda i, r: (0, 0, 0),
+            pl.BlockSpec((s + 2, 3 * cin, s * cout), lambda i, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * cout), lambda i, r: (0, 0),
+            pl.BlockSpec((1, s * cout), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * cout), lambda i, r: (0, 0),
+            pl.BlockSpec((1, s * cout), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bh, 2 * t, cout), lambda i, r: (i, r, 0, 0),
+        out_specs=pl.BlockSpec((1, bh, s * t, cout),
+                               lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, hp, 2 * t, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bh + 2, t + 2, 2 * cin), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, hp, s * t, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bh + 2, t + 2, s * cin), x.dtype),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(xp2, w_blocks, s2, o2)
@@ -204,7 +213,7 @@ def fused_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
         return False
     shape_ok = (not train and tuple(kernel) == (3, 3)
                 and tuple(strides) == (1, 1) and tuple(dilation) == (1, 1)
-                and padding == "SAME" and cout == 64
+                and padding == "SAME" and cout in (16, 32, 64)
                 and dtype == jnp.bfloat16)
     if MODE == "force":
         return shape_ok

@@ -41,19 +41,22 @@ class TestFusedConv:
     """Fused 3x3 conv + BN-affine + ReLU supertile kernel
     (ops/pallas_conv.py; used by ConvBN at inference on TPU)."""
 
-    @pytest.mark.parametrize("shape,cin,relu", [
-        ((2, 16, 24), 16, True),     # DAM mask_feature first conv (16->64)
-        ((1, 8, 10), 64, False),     # 64->64, odd W, no act
-        ((2, 13, 9), 64, True),      # odd H and W (pad/slice path)
+    @pytest.mark.parametrize("shape,cin,cout,relu", [
+        ((2, 16, 24), 16, 64, True),   # DAM mask_feature first conv (16->64)
+        ((1, 8, 10), 64, 64, False),   # 64->64, odd W, no act (S=2)
+        ((2, 13, 9), 64, 64, True),    # odd H and W (pad/slice path)
+        ((1, 8, 24), 80, 16, True),    # decoder tail (S=8 supertile)
+        ((2, 13, 17), 96, 32, True),   # decoder stage 4 (S=4), odd dims
+        ((1, 9, 7), 16, 16, True),     # S=8 with tiny channel counts
     ])
-    def test_matches_xla_conv(self, shape, cin, relu):
+    def test_matches_xla_conv(self, shape, cin, cout, relu):
         from cdnet_tpu.ops.pallas_conv import conv3x3_affine_act
         rng = np.random.RandomState(0)
         n, h, w = shape
         x = jnp.asarray(rng.randn(n, h, w, cin), jnp.float32)
-        k = jnp.asarray(rng.randn(3, 3, cin, 64) * 0.1, jnp.float32)
-        s = jnp.asarray(rng.rand(64) + 0.5, jnp.float32)
-        o = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+        s = jnp.asarray(rng.rand(cout) + 0.5, jnp.float32)
+        o = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
         ref = jax.lax.conv_general_dilated(
             x, k, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC")) * s + o
