@@ -78,16 +78,36 @@ def _conv_kernel(xp_ref, w_ref, s_ref, o_ref, out_ref, blk_ref, sem,
     """One (bh, s*t, cout) output row-block.
 
     xp_ref: (N, H+2, t+2, s*cin) phase-merged padded input (HBM/ANY)
-    blk_ref: (bh+2, t+2, s*cin) VMEM scratch (row halo of 1 each side)
-    w_ref: (s+2, 3*cin, s*cout); s_ref/o_ref: (1, s*cout) f32 affine
+    blk_ref: (2, bh+2, t+2, s*cin) double-buffered VMEM scratch (row halo
+    of 1 each side); w_ref: (s+2, 3*cin, s*cout); s_ref/o_ref: (1, s*cout)
+    f32 affine. The NEXT row-block's DMA is started before this block's
+    compute so the copy rides under the MXU work (grid iterates row-major:
+    r fastest, then n).
     """
     n = pl.program_id(0)
     r = pl.program_id(1)
-    cp = pltpu.make_async_copy(
-        xp_ref.at[n, pl.ds(r * bh, bh + 2)], blk_ref, sem)
-    cp.start()
-    cp.wait()
-    blk = blk_ref[...]  # (bh+2, t+2, s*cin): lanes = S column phases
+    rows = pl.num_programs(1)
+    step = n * rows + r
+
+    def dma(slot, img, row):
+        return pltpu.make_async_copy(
+            xp_ref.at[img, pl.ds(row * bh, bh + 2)],
+            blk_ref.at[slot], sem.at[slot])
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, n, r).start()
+
+    nxt_wraps = r + 1 == rows
+    nxt_n = jnp.where(nxt_wraps, n + 1, n)
+    nxt_r = jnp.where(nxt_wraps, 0, r + 1)
+
+    @pl.when(step + 1 < pl.num_programs(0) * rows)
+    def _():
+        dma((step + 1) % 2, nxt_n, nxt_r).start()
+
+    dma(step % 2, n, r).wait()
+    blk = blk_ref[step % 2]  # (bh+2, t+2, s*cin): lanes = S column phases
 
     def bank(q, off):
         # (bh, t, 3*cin): rows i-1,i,i+1 folded along lanes, phase-q columns
@@ -183,8 +203,8 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
                                lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, hp, s * t, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bh + 2, t + 2, s * cin), x.dtype),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, bh + 2, t + 2, s * cin), x.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(xp2, w_blocks, s2, o2)
     return out[:, :h, :w, :]
