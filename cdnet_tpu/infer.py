@@ -84,6 +84,10 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
 
     ``mesh``: optional jax.sharding.Mesh — shards the TTA/tile batch axis
     across devices (tile-parallel inference; BASELINE v5e-8 target).
+    Fused Pallas convs (ops/pallas_conv) are smoke-compiled here and
+    disabled process-wide on any Mosaic failure, so the pipeline degrades
+    to XLA convs rather than erroring.
+
     ``batch_tiles`` > 1 returns a pipeline over an (N,H,W,3) stack of
     independent tiles -> result dict with a leading N axis on every entry
     (whole-slide throughput mode: one dispatch + one fetch per N tiles
@@ -93,6 +97,8 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
     with a weakly trained model, instance counts) can differ between modes;
     on CPU (true f32 convs) both modes match exactly
     (tests/test_e2e_goldens.py::test_batched_tiles_equal_single)."""
+    from cdnet_tpu.ops import pallas_conv
+    pallas_conv.ensure_tpu_kernel_or_disable()
     # pin the variables on device ONCE: callers typically hold numpy trees
     # (checkpoint restore), and passing those to jit re-uploads the full
     # parameter set every call (measured 1.0s/call for the 82MB flagship

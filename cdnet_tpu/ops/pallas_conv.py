@@ -225,6 +225,48 @@ def fold_affine(features: int, conv_bias, bn_params, bn_stats,
     return scale, offset
 
 
+_TPU_SMOKE: bool | None = None
+
+
+def ensure_tpu_kernel_or_disable() -> bool:
+    """Compile-and-run a tiny fused conv on the TPU once per process; on ANY
+    failure flip MODE to "off" so jit programs fall back to the XLA conv.
+
+    Call before tracing a big inference program (build_pipeline / bench do):
+    the kernel is exercised in interpret mode by the test suite, but the
+    Mosaic compile only happens on real hardware — a compile regression must
+    degrade to the XLA path, not take down an inference run."""
+    global _TPU_SMOKE, MODE
+    if MODE != "auto" or jax.default_backend() != "tpu":
+        return MODE != "off"
+    if _TPU_SMOKE is None:
+        try:
+            import numpy as np
+            rng = np.random.RandomState(0)
+            x = jnp.asarray(rng.randn(1, 16, 20, 64), jnp.bfloat16)
+            k = jnp.asarray(rng.randn(3, 3, 64, 64) * 0.1, jnp.bfloat16)
+            s = jnp.asarray(rng.rand(64) + 0.5, jnp.float32)
+            o = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+            got = np.asarray(conv3x3_affine_act(x, k, s, o), np.float32)
+            ref = jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32) * s + o
+            ref = np.asarray(jnp.maximum(ref, 0), np.float32)
+            err = float(np.max(np.abs(got - ref)))
+            if err > 0.1:
+                raise ValueError(f"fused conv numerics off on TPU: "
+                                 f"max_err={err}")
+            _TPU_SMOKE = True
+        except Exception as e:  # Mosaic compile/runtime/numerics failure
+            import warnings
+            warnings.warn(f"pallas fused conv disabled: {type(e).__name__}: "
+                          f"{e}; falling back to XLA convs")
+            _TPU_SMOKE = False
+            MODE = "off"
+    return _TPU_SMOKE
+
+
 def fused_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
                           dilation: tuple, padding, cout: int,
                           dtype) -> bool:
