@@ -46,8 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 # "auto": use the kernel at inference on TPU for matching shapes;
 # "off": never (XLA conv everywhere); "force": also on CPU via interpret
-# mode (tests).
-MODE = "auto"
+# mode (tests). Env CDNET_PALLAS_CONV overrides (A/B benching).
+import os as _os
+
+MODE = _os.environ.get("CDNET_PALLAS_CONV", "auto")
 
 
 def _supertile_s(cout: int) -> int:
