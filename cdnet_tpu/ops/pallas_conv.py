@@ -79,26 +79,61 @@ def _conv_kernel(xp_ref, w_ref, s_ref, o_ref, out_ref, blk_ref, sem,
                  relu: bool, out_dtype):
     """One (bh, s*t, cout) output row-block.
 
-    xp_ref: (N, H+2, t+2, s*cin) phase-merged padded input (HBM/ANY)
-    blk_ref: (2, bh+2, t+2, s*cin) double-buffered VMEM scratch (row halo
-    of 1 each side); w_ref: (s+2, 3*cin, s*cout); s_ref/o_ref: (1, s*cout)
-    f32 affine. The NEXT row-block's DMA is started before this block's
-    compute so the copy rides under the MXU work (grid iterates row-major:
-    r fastest, then n).
+    xp_ref: (N, H, T, s*cin) phase-merged UNPADDED input (HBM/ANY — the
+    merge is a free bitcast in HBM, so the kernel costs zero pre-copies);
+    blk_ref: (2, bh+2, t, s*cin) double-buffered VMEM scratch (1-row halo
+    each side, DMA'd only away from the image borders and zero-filled at
+    them — SAME-conv semantics without a padded HBM copy);
+    w_ref: (s+2, 3*cin, s*cout); s_ref/o_ref: (1, s*cout) f32 affine.
+    The NEXT row-block's DMAs are started before this block's compute so
+    the copies ride under the MXU work (grid iterates row-major: r fastest,
+    then n).
     """
     n = pl.program_id(0)
     r = pl.program_id(1)
     rows = pl.num_programs(1)
     step = n * rows + r
 
-    def dma(slot, img, row):
-        return pltpu.make_async_copy(
-            xp_ref.at[img, pl.ds(row * bh, bh + 2)],
-            blk_ref.at[slot], sem.at[slot])
+    def issue(slot, img, row):
+        # main rows [row*bh, row*bh+bh) -> blk[1:bh+1]; the 1-row halos only
+        # exist away from the image borders (borders are zero-filled below)
+        pltpu.make_async_copy(
+            xp_ref.at[img, pl.ds(row * bh, bh)],
+            blk_ref.at[slot, 1:bh + 1], sem.at[slot, 0]).start()
+
+        @pl.when(row > 0)
+        def _():
+            pltpu.make_async_copy(
+                xp_ref.at[img, pl.ds(jnp.maximum(row * bh - 1, 0), 1)],
+                blk_ref.at[slot, 0:1], sem.at[slot, 1]).start()
+
+        @pl.when(row < rows - 1)
+        def _():
+            pltpu.make_async_copy(
+                xp_ref.at[img, pl.ds(row * bh + bh, 1)],
+                blk_ref.at[slot, bh + 1:bh + 2], sem.at[slot, 2]).start()
+
+    def wait_for(slot, row):
+        # reconstructed copy descriptors wait on the matching semaphores
+        pltpu.make_async_copy(
+            xp_ref.at[0, pl.ds(0, bh)],
+            blk_ref.at[slot, 1:bh + 1], sem.at[slot, 0]).wait()
+
+        @pl.when(row > 0)
+        def _():
+            pltpu.make_async_copy(
+                xp_ref.at[0, pl.ds(0, 1)],
+                blk_ref.at[slot, 0:1], sem.at[slot, 1]).wait()
+
+        @pl.when(row < rows - 1)
+        def _():
+            pltpu.make_async_copy(
+                xp_ref.at[0, pl.ds(0, 1)],
+                blk_ref.at[slot, bh + 1:bh + 2], sem.at[slot, 2]).wait()
 
     @pl.when(step == 0)
     def _():
-        dma(0, n, r).start()
+        issue(0, n, r)
 
     nxt_wraps = r + 1 == rows
     nxt_n = jnp.where(nxt_wraps, n + 1, n)
@@ -106,23 +141,39 @@ def _conv_kernel(xp_ref, w_ref, s_ref, o_ref, out_ref, blk_ref, sem,
 
     @pl.when(step + 1 < pl.num_programs(0) * rows)
     def _():
-        dma((step + 1) % 2, nxt_n, nxt_r).start()
+        issue((step + 1) % 2, nxt_n, nxt_r)
 
-    dma(step % 2, n, r).wait()
-    blk = blk_ref[step % 2]  # (bh+2, t+2, s*cin): lanes = S column phases
+    cur = step % 2
+    wait_for(cur, r)
 
-    def bank(q, off):
-        # (bh, t, 3*cin): rows i-1,i,i+1 folded along lanes, phase-q columns
-        return jnp.concatenate(
-            [blk[di:di + bh, off:off + t, q * cin:(q + 1) * cin]
-             for di in range(3)], axis=-1)
+    @pl.when(r == 0)
+    def _():
+        blk_ref[cur, 0] = jnp.zeros((t, s * cin), out_dtype)
+
+    @pl.when(r == rows - 1)
+    def _():
+        blk_ref[cur, bh + 1] = jnp.zeros((t, s * cin), out_dtype)
+
+    blk = blk_ref[cur]  # (bh+2, t, s*cin): lanes = S column phases
+
+    def bank(dj):
+        # (bh, t, 3*cin): rows i-1,i,i+1 folded along lanes, columns at
+        # input offset dj: phase dj%s shifted by dj//s supertiles, with the
+        # out-of-image column zero-filled at the left/right borders
+        q = dj % s
+        sl = jnp.concatenate(
+            [blk[di:di + bh, :, q * cin:(q + 1) * cin] for di in range(3)],
+            axis=-1)
+        if dj == -1:
+            return jnp.pad(sl[:, :t - 1], ((0, 0), (1, 0), (0, 0)))
+        if dj == s:
+            return jnp.pad(sl[:, 1:], ((0, 0), (0, 1), (0, 0)))
+        return sl
 
     acc = jnp.zeros((bh, t, s * cout), jnp.float32)
     for i, dj in enumerate(range(-1, s + 1)):
-        col = dj + s                      # physical column (left pad = s)
-        lhs = bank(col % s, col // s)
         acc = acc + jax.lax.dot_general(
-            lhs, w_ref[i],
+            bank(dj), w_ref[i],
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -174,15 +225,18 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
     cout = kernel.shape[-1]
     assert kernel.shape[:3] == (3, 3, cin), kernel.shape
     s = _supertile_s(cout)
-    # geometry: rows blocked by bh (pad H up), width supertiled by S with a
-    # left pad of S columns so every tap's phase/offset is non-negative
+    # geometry: rows blocked by bh, width supertiled by S. At the common
+    # sizes (1024/512/256/64: s | W and bh | H) the input needs NO padded
+    # copy at all — boundary halos are zero-filled in-kernel; ragged sizes
+    # pad up with zeros (still SAME semantics: the pad is past the slice).
     hp = -(-h // bh) * bh
-    t = -(-w // s)
-    xp = jnp.pad(x, ((0, 0), (1, 1 + hp - h),
-                     (s, s * (t + 2) - s - w), (0, 0)))
-    # column phase-merge is free in HBM: row-major (..., S*(T+2), Cin) is
-    # bit-identical to (..., T+2, S*Cin)
-    xp2 = xp.reshape(n, hp + 2, t + 2, s * cin)
+    ws = -(-w // s) * s
+    if hp != h or ws != w:
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, ws - w), (0, 0)))
+    t = ws // s
+    # column phase-merge is free in HBM: row-major (..., S*T, Cin) is
+    # bit-identical to (..., T, S*Cin)
+    xp2 = x.reshape(n, hp, t, s * cin)
 
     w_blocks = _supertile_weights(kernel.astype(x.dtype), s)
     s2 = jnp.tile(scale.astype(jnp.float32), s)[None]   # (1, S*Cout)
@@ -205,8 +259,8 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
                                lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, hp, s * t, cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((2, bh + 2, t + 2, s * cin), x.dtype),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((2, bh + 2, t, s * cin), x.dtype),
+                        pltpu.SemaphoreType.DMA((2, 3))],
         interpret=interpret,
     )(xp2, w_blocks, s2, o2)
     return out[:, :h, :w, :]
