@@ -477,6 +477,7 @@ def main():
     hrnet = {} if over_budget("hrnet") else bench_hrnet(img)
     mesh = {} if over_budget("mesh8") else mesh_scaling_subprocess()
 
+    from cdnet_tpu.ops import pallas_conv
     print(json.dumps({
         "metric": "cdnet_e2e_infer_1000px_tta8_ddm_postproc",
         "value": round(cc_pip, 4),
@@ -490,6 +491,10 @@ def main():
         "instances": n_inst,
         "dispatch_floor_ms": round(floor_s * 1e3, 1),
         "stage_ms": ledger,
+        # whether the fused Pallas conv kernel passed its on-device smoke
+        # and was active for the numbers above (ops/pallas_conv.py)
+        "pallas_conv": pallas_conv.MODE == "auto"
+                       and pallas_conv._TPU_SMOKE is True,
         **hrnet, **mesh,
     }))
 
