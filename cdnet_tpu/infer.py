@@ -98,6 +98,11 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
     on CPU (true f32 convs) both modes match exactly
     (tests/test_e2e_goldens.py::test_batched_tiles_equal_single)."""
     from cdnet_tpu.ops import pallas_conv
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        # pallas_call carries no SPMD partitioning rule: under a >1-device
+        # mesh the fused conv would force replication (or fail to
+        # partition); sharded tile-parallel inference keeps XLA convs
+        pallas_conv.MODE = "off"
     pallas_conv.ensure_tpu_kernel_or_disable()
     # pin the variables on device ONCE: callers typically hold numpy trees
     # (checkpoint restore), and passing those to jit re-uploads the full
