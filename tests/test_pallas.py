@@ -48,6 +48,8 @@ class TestFusedConv:
         ((1, 8, 24), 80, 16, True),    # decoder tail (S=8 supertile)
         ((2, 13, 17), 96, 32, True),   # decoder stage 4 (S=4), odd dims
         ((1, 9, 7), 16, 16, True),     # S=8 with tiny channel counts
+        ((2, 16, 21), 18, 18, True),   # HRNet W18 (S=7, non-pow2 channels)
+        ((1, 12, 24), 36, 36, True),   # HRNet stage-2 (S=3)
     ])
     def test_matches_xla_conv(self, shape, cin, cout, relu):
         from cdnet_tpu.ops.pallas_conv import conv3x3_affine_act
