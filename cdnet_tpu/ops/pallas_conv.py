@@ -299,20 +299,25 @@ def ensure_tpu_kernel_or_disable() -> bool:
         try:
             import numpy as np
             rng = np.random.RandomState(0)
-            x = jnp.asarray(rng.randn(1, 16, 20, 64), jnp.bfloat16)
-            k = jnp.asarray(rng.randn(3, 3, 64, 64) * 0.1, jnp.bfloat16)
-            s = jnp.asarray(rng.rand(64) + 0.5, jnp.float32)
-            o = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
-            got = np.asarray(conv3x3_affine_act(x, k, s, o), np.float32)
-            ref = jax.lax.conv_general_dilated(
-                x, k, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32) * s + o
-            ref = np.asarray(jnp.maximum(ref, 0), np.float32)
-            err = float(np.max(np.abs(got - ref)))
-            if err > 0.1:
-                raise ValueError(f"fused conv numerics off on TPU: "
-                                 f"max_err={err}")
+            # one case per enabled supertile width (S=2/4/8): a Mosaic
+            # regression in ANY variant must disable the kernel, not crash
+            # the first big pipeline compile that uses it
+            for cin, cout in ((64, 64), (96, 32), (80, 16)):
+                x = jnp.asarray(rng.randn(1, 16, 16, cin), jnp.bfloat16)
+                k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1,
+                                jnp.bfloat16)
+                s = jnp.asarray(rng.rand(cout) + 0.5, jnp.float32)
+                o = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+                got = np.asarray(conv3x3_affine_act(x, k, s, o), np.float32)
+                ref = jax.lax.conv_general_dilated(
+                    x, k, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32) * s + o
+                ref = np.asarray(jnp.maximum(ref, 0), np.float32)
+                err = float(np.max(np.abs(got - ref)))
+                if err > 0.1:
+                    raise ValueError(f"fused conv numerics off on TPU "
+                                     f"(cout={cout}): max_err={err}")
             _TPU_SMOKE = True
         except Exception as e:  # Mosaic compile/runtime/numerics failure
             import warnings
