@@ -491,10 +491,9 @@ def main():
         "instances": n_inst,
         "dispatch_floor_ms": round(floor_s * 1e3, 1),
         "stage_ms": ledger,
-        # whether the fused Pallas conv kernel passed its on-device smoke
-        # and was active for the numbers above (ops/pallas_conv.py)
-        "pallas_conv": pallas_conv.MODE == "auto"
-                       and pallas_conv._TPU_SMOKE is True,
+        # whether the fused Pallas conv kernel was active for the numbers
+        # above (ops/pallas_conv.py; "force" mode counts as active)
+        "pallas_conv": pallas_conv.is_active(),
         **hrnet, **mesh,
     }))
 

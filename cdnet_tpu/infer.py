@@ -43,12 +43,20 @@ def make_model_fn(model, mesh=None):
     natural shard axes, SURVEY.md §2.4) is sharded over the mesh's "data"
     axis; XLA partitions the convs and inserts any collectives.
     """
+    from cdnet_tpu.ops import pallas_conv
+    # pallas_call carries no SPMD partitioning rule: under a >1-device mesh
+    # the fused conv would fail to partition. scoped_disable enters at
+    # TRACE time, so it scopes to this sharded program only (a later
+    # single-device pipeline in the same process keeps the kernel).
+    fused_off = mesh is not None and getattr(mesh, "size", 1) > 1
+
     def fn(variables, batch):
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             batch = jax.lax.with_sharding_constraint(
                 batch, NamedSharding(mesh, P("data", None, None, None)))
-        out = model.apply(variables, batch, train=False)
+        with pallas_conv.scoped_disable(fused_off):
+            out = model.apply(variables, batch, train=False)
         # Epilogue runs CHANNEL-FIRST (C, B, H, W): a (B,H,W,C) f32 map with
         # C in {1,3,9} is lane-padded C->128 on TPU (up to 42x physical
         # bytes), and the softmax/scale/argmax chain over such maps measured
@@ -98,11 +106,6 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
     on CPU (true f32 convs) both modes match exactly
     (tests/test_e2e_goldens.py::test_batched_tiles_equal_single)."""
     from cdnet_tpu.ops import pallas_conv
-    if mesh is not None and getattr(mesh, "size", 1) > 1:
-        # pallas_call carries no SPMD partitioning rule: under a >1-device
-        # mesh the fused conv would force replication (or fail to
-        # partition); sharded tile-parallel inference keeps XLA convs
-        pallas_conv.MODE = "off"
     pallas_conv.ensure_tpu_kernel_or_disable()
     # pin the variables on device ONCE: callers typically hold numpy trees
     # (checkpoint restore), and passing those to jit re-uploads the full

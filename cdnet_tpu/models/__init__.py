@@ -22,6 +22,11 @@ def choose_model(cfg):
 
     Accepts a :class:`cdnet_tpu.config.Config` (uses cfg.model.*).
     """
+    # arm the fused-conv fallback eagerly, before any model.init can trace
+    # the Pallas kernel (a Mosaic failure then degrades to XLA convs
+    # instead of crashing the first compile that touches it)
+    from cdnet_tpu.ops import pallas_conv
+    pallas_conv.ensure_tpu_kernel_or_disable()
     m = cfg.model
     dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
     name = m.model_name

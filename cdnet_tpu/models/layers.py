@@ -59,24 +59,9 @@ class ConvBN(nn.Module):
                 dilation=self.dilation, padding=self.padding,
                 cout=self.features, dtype=self.dtype)
                 and self.act in (nn.relu, None)):
-            # bind the submodule params without running the XLA ops (the
-            # 1x1 dummy is dead code XLA removes), then fold BN + bias into
-            # the kernel's affine epilogue
-            y = conv(x[:1, :1, :1, :])
-            if norm is not None:
-                norm(y)
-            params = self.variables["params"]
-            kern = params["Conv_0"]["kernel"]
-            scale, offset = pallas_conv.fold_affine(
-                self.features,
-                params["Conv_0"]["bias"] if self.use_bias else None,
-                params.get("BatchNorm_0") if norm is not None else None,
-                self.variables["batch_stats"]["BatchNorm_0"]
-                if norm is not None else None)
-            return pallas_conv.conv3x3_affine_act(
-                x.astype(self.dtype), kern, scale, offset,
-                relu=self.act is nn.relu,
-                interpret=jax.default_backend() != "tpu")
+            return pallas_conv.route_fused(
+                self, conv, norm, x, features=self.features,
+                use_bias=self.use_bias, relu=self.act is nn.relu)
         x = conv(x)
         if norm is not None:
             x = norm(x)

@@ -14,7 +14,6 @@ import through :mod:`cdnet_tpu.models.weights`.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -51,17 +50,11 @@ class VGG16Backbone(nn.Module):
                         dilation=(1, 1), padding="SAME", cout=ch,
                         dtype=self.dtype)):
                     # block-1's full-resolution 64->64 conv: route through
-                    # the fused supertile kernel (see ConvBN docstring);
-                    # the dummy 1x1 call binds params without XLA compute
-                    norm(conv(x[:1, :1, :1, :]))
-                    p = self.variables["params"]
-                    scale, offset = pallas_conv.fold_affine(
-                        ch, p[f"conv_{idx}"]["bias"], p[f"bn_{idx + 1}"],
-                        self.variables["batch_stats"][f"bn_{idx + 1}"])
-                    x = pallas_conv.conv3x3_affine_act(
-                        x.astype(self.dtype), p[f"conv_{idx}"]["kernel"],
-                        scale, offset, relu=True,
-                        interpret=jax.default_backend() != "tpu")
+                    # the fused supertile kernel (see ConvBN docstring)
+                    x = pallas_conv.route_fused(
+                        self, conv, norm, x, features=ch, use_bias=True,
+                        relu=True, conv_name=f"conv_{idx}",
+                        bn_name=f"bn_{idx + 1}")
                 else:
                     x = nn.relu(norm(conv(x)))
                 idx += 3  # conv, bn, relu

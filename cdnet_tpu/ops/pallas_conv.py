@@ -283,6 +283,38 @@ def fold_affine(features: int, conv_bias, bn_params, bn_stats,
 
 _TPU_SMOKE: bool | None = None
 
+# trace-scoped disable (multi-device mesh pipelines): entered at TRACE time
+# around model.apply, so it scopes to the sharded program instead of
+# flipping the process-global MODE
+_SCOPED_OFF: list[bool] = []
+
+
+class scoped_disable:
+    """Context manager: disable fused-conv routing for traces inside the
+    block when ``flag`` is true (no-op otherwise)."""
+
+    def __init__(self, flag: bool):
+        self.flag = flag
+
+    def __enter__(self):
+        if self.flag:
+            _SCOPED_OFF.append(True)
+        return self
+
+    def __exit__(self, *exc):
+        if self.flag:
+            _SCOPED_OFF.pop()
+        return False
+
+
+def is_active() -> bool:
+    """Whether eligible convs would route through the kernel right now
+    (bench JSON honesty: "force" counts as active)."""
+    if MODE == "force":
+        return True
+    return (MODE == "auto" and jax.default_backend() == "tpu"
+            and _TPU_SMOKE is True)
+
 
 def ensure_tpu_kernel_or_disable() -> bool:
     """Compile-and-run a tiny fused conv on the TPU once per process; on ANY
@@ -328,11 +360,41 @@ def ensure_tpu_kernel_or_disable() -> bool:
     return _TPU_SMOKE
 
 
+def route_fused(parent, conv, norm, x, *, features: int, use_bias: bool,
+                relu: bool, conv_name: str = "Conv_0",
+                bn_name: str = "BatchNorm_0"):
+    """Route a flax Conv[+BatchNorm][+ReLU] through the fused kernel.
+
+    Binds the submodules' parameters with a dead 1x1 dummy call (XLA
+    removes it; the parameter tree is identical to the XLA path), folds
+    the BN inference affine and conv bias via :func:`fold_affine`, and
+    dispatches :func:`conv3x3_affine_act`. Shared by ConvBN and the VGG
+    backbone so the routing recipe evolves in one place."""
+    y = conv(x[:1, :1, :1, :])
+    if norm is not None:
+        norm(y)
+    params = parent.variables["params"]
+    scale, offset = fold_affine(
+        features,
+        params[conv_name]["bias"] if use_bias else None,
+        params.get(bn_name) if norm is not None else None,
+        parent.variables["batch_stats"][bn_name] if norm is not None
+        else None)
+    return conv3x3_affine_act(
+        x.astype(conv.dtype), params[conv_name]["kernel"], scale, offset,
+        relu=relu, interpret=jax.default_backend() != "tpu")
+
+
 def fused_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
                           dilation: tuple, padding, cout: int,
                           dtype) -> bool:
-    """Whether ConvBN should route through the Pallas kernel."""
-    if MODE == "off":
+    """Whether ConvBN should route through the Pallas kernel.
+
+    In auto mode on TPU this also arms the smoke-check fallback, so EVERY
+    trace that could reach the kernel (model.init, training validation,
+    bench stage programs — not just build_pipeline) degrades to XLA convs
+    on a Mosaic failure instead of crashing."""
+    if MODE == "off" or _SCOPED_OFF:
         return False
     shape_ok = (not train and tuple(kernel) == (3, 3)
                 and tuple(strides) == (1, 1) and tuple(dilation) == (1, 1)
@@ -340,4 +402,15 @@ def fused_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
                 and dtype == jnp.bfloat16)
     if MODE == "force":
         return shape_ok
-    return shape_ok and jax.default_backend() == "tpu"
+    if not (shape_ok and jax.default_backend() == "tpu"):
+        return False
+    if _TPU_SMOKE is None:
+        # the smoke runs the kernel eagerly — skip the decision inside a
+        # trace (jitted init); the next eager applicability check decides
+        try:
+            from jax.core import trace_state_clean
+            if not trace_state_clean():
+                return True
+        except ImportError:
+            pass
+    return ensure_tpu_kernel_or_disable()

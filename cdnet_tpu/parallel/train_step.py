@@ -160,7 +160,12 @@ def make_sliding_eval_step(model, cfg, max_instances: int = 160,
         variables = {"params": params, "batch_stats": state.batch_stats}
 
         def apply(tiles):
-            out = model.apply(variables, tiles, train=False)
+            # fused Pallas convs have no SPMD rule: keep XLA convs when the
+            # eval state may be sharded over >1 devices (single-chip eval
+            # keeps the kernel; its fallback is armed via choose_model)
+            from cdnet_tpu.ops import pallas_conv
+            with pallas_conv.scoped_disable(jax.device_count() > 1):
+                out = model.apply(variables, tiles, train=False)
             res = {"mask": jnp.moveaxis(out["mask"], -1, 0)}    # (3,T,s,s)
             if "point" in out:
                 res["point"] = out["point"][..., 0]             # (T,s,s)
@@ -198,8 +203,11 @@ def make_eval_step(model, cfg, max_instances: int = 160,
         targets = prepare_targets(batch, cfg, max_instances)
         params = state.params.slow if cfg.train.optimizer.lower() == "ranger" \
             else state.params
-        out = model.apply({"params": params, "batch_stats": state.batch_stats},
-                          batch["image"], train=False)
+        from cdnet_tpu.ops import pallas_conv
+        with pallas_conv.scoped_disable(jax.device_count() > 1):
+            out = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], train=False)
         _, comps = losses.composite_loss(out, targets, cfg, max_instances)
         pred = jnp.argmax(out["mask"], axis=-1)
         metrics = dict(comps)
