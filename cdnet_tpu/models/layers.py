@@ -162,12 +162,22 @@ class UpsampleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
-        x = nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
-                             padding="SAME", use_bias=False,
-                             dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x = nn.relu(x)
+        convt = nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
+                                 padding="SAME", use_bias=False,
+                                 dtype=self.dtype, param_dtype=jnp.float32,
+                                 name="ConvTranspose_0")
+        norm = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name="BatchNorm_0")
+        if pallas_conv.fused_conv_applicable(
+                train=train, kernel=(3, 3), strides=(1, 1), dilation=(1, 1),
+                padding="SAME", cout=4 * self.features, dtype=self.dtype):
+            # convT(4,4,s2)+BN+ReLU == phase-decomposed 3x3 conv through
+            # the supertile kernel + depth-to-space (convt_phase_kernel)
+            x = pallas_conv.route_fused_convt(self, convt, norm, x,
+                                              features=self.features)
+        else:
+            x = nn.relu(norm(convt(x)))
         if skip is not None:
             dh = skip.shape[1] - x.shape[1]
             dw = skip.shape[2] - x.shape[2]

@@ -334,7 +334,7 @@ def ensure_tpu_kernel_or_disable() -> bool:
             # one case per enabled supertile width (S=2/4/8): a Mosaic
             # regression in ANY variant must disable the kernel, not crash
             # the first big pipeline compile that uses it
-            for cin, cout in ((64, 64), (96, 32), (80, 16)):
+            for cin, cout in ((64, 64), (32, 64), (96, 32), (80, 16)):
                 x = jnp.asarray(rng.randn(1, 16, 16, cin), jnp.bfloat16)
                 k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1,
                                 jnp.bfloat16)
@@ -383,6 +383,58 @@ def route_fused(parent, conv, norm, x, *, features: int, use_bias: bool,
     return conv3x3_affine_act(
         x.astype(conv.dtype), params[conv_name]["kernel"], scale, offset,
         relu=relu, interpret=jax.default_backend() != "tpu")
+
+
+def convt_phase_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(4,4,Cin,Cout) stride-2 SAME ConvTranspose kernel -> the equivalent
+    (3,3,Cin,4*Cout) stride-1 conv kernel over the 4 output phases.
+
+    flax's ConvTranspose((4,4), strides=2, SAME) satisfies
+    out[o] = sum_k x[(o+1-k)/2] * K[::-1,::-1][k] over k with o+1-k even
+    (derived and pinned by tests). Per output phase a=o%2 that is two taps
+    along each axis, embedded in a 3x3 window: a=0 uses (di=0 -> k=3,
+    di=1 -> k=1), a=1 uses (di=1 -> k=2, di=2 -> k=0). The dense 3x3 conv
+    does 9/4 = 2.25x the true MACs but runs at 4-16x the lane occupancy
+    (Cout -> 4*Cout), and the supertile kernel takes it from there."""
+    k = kernel[::-1, ::-1]
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    taps = {0: {0: 3, 1: 1}, 1: {1: 2, 2: 0}}
+    k3 = jnp.zeros((3, 3, cin, 2, 2, cout), kernel.dtype)
+    for a in (0, 1):
+        for di, ki in taps[a].items():
+            for b in (0, 1):
+                for dj, kj in taps[b].items():
+                    k3 = k3.at[di, dj, :, a, b, :].set(k[ki, kj])
+    return k3.reshape(3, 3, cin, 4 * cout)
+
+
+def depth_to_space2(y: jnp.ndarray, cout: int) -> jnp.ndarray:
+    """(N, H, W, 4*Cout) phase-major channels -> (N, 2H, 2W, Cout)."""
+    n, h, w, _ = y.shape
+    return y.reshape(n, h, w, 2, 2, cout).transpose(
+        0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, cout)
+
+
+def route_fused_convt(parent, convt, norm, x, *, features: int,
+                      convt_name: str = "ConvTranspose_0",
+                      bn_name: str = "BatchNorm_0"):
+    """Route ConvTranspose(4,4,s2) + BatchNorm + ReLU through the fused
+    kernel: phase-decomposed 3x3 conv + BN/ReLU epilogue + depth-to-space.
+    Caller must have checked fused_conv_applicable(cout=4*features)."""
+    y = convt(x[:1, :1, :1, :])
+    if norm is not None:
+        norm(y)
+    params = parent.variables["params"]
+    k3 = convt_phase_kernel(params[convt_name]["kernel"])
+    scale, offset = fold_affine(
+        features, None,
+        params.get(bn_name) if norm is not None else None,
+        parent.variables["batch_stats"][bn_name] if norm is not None
+        else None)
+    y3 = conv3x3_affine_act(
+        x.astype(convt.dtype), k3, jnp.tile(scale, 4), jnp.tile(offset, 4),
+        relu=True, interpret=jax.default_backend() != "tpu")
+    return depth_to_space2(y3, features)
 
 
 def fused_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,

@@ -138,3 +138,43 @@ class TestFusedConv:
                 np.asarray(got[k], np.float32),
                 np.asarray(ref[k], np.float32), atol=0.1,
                 err_msg=k)
+
+    def test_convt_phase_decomposition(self):
+        """ConvTranspose(4,4,s2,SAME)+BN+ReLU == phase-decomposed 3x3 conv
+        + depth-to-space through the fused kernel (UpsampleBlock routing)."""
+        from cdnet_tpu.models.layers import UpsampleBlock
+        from cdnet_tpu.ops import pallas_conv
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.rand(1, 8, 12, 32), jnp.float32)
+        skip = jnp.asarray(rng.rand(1, 16, 24, 64), jnp.float32)
+        m = UpsampleBlock(16, dtype=jnp.bfloat16)  # 4*16=64: eligible
+        v = m.init(jax.random.PRNGKey(0), x, skip)
+        old = pallas_conv.MODE
+        try:
+            pallas_conv.MODE = "off"
+            ref = m.apply(v, x, skip).astype(jnp.float32)
+            pallas_conv.MODE = "force"
+            got = m.apply(v, x, skip).astype(jnp.float32)
+        finally:
+            pallas_conv.MODE = old
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=0.1)
+
+    def test_convt_phase_kernel_exact(self):
+        """The phase kernel reproduces flax ConvTranspose exactly at f32."""
+        from flax import linen as nn
+        from cdnet_tpu.ops.pallas_conv import (convt_phase_kernel,
+                                               depth_to_space2)
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 8, 10, 5), jnp.float32)
+        m = nn.ConvTranspose(3, (4, 4), strides=(2, 2), padding="SAME",
+                             use_bias=False, param_dtype=jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        ref = m.apply(v, x)
+        k3 = convt_phase_kernel(v["params"]["kernel"])
+        y3 = jax.lax.conv_general_dilated(
+            x, k3, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = depth_to_space2(y3, 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
