@@ -178,3 +178,25 @@ class TestFusedConv:
         out = depth_to_space2(y3, 3)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
+
+    def test_scoped_disable_and_force_activity(self):
+        from cdnet_tpu.ops import pallas_conv
+        kw = dict(train=False, kernel=(3, 3), strides=(1, 1),
+                  dilation=(1, 1), padding="SAME", cout=64,
+                  dtype=jnp.bfloat16)
+        old = pallas_conv.MODE
+        try:
+            pallas_conv.MODE = "force"
+            assert pallas_conv.fused_conv_applicable(**kw)
+            # the mesh guard scopes to the trace, and nests
+            with pallas_conv.scoped_disable(True):
+                assert not pallas_conv.fused_conv_applicable(**kw)
+                with pallas_conv.scoped_disable(False):
+                    assert not pallas_conv.fused_conv_applicable(**kw)
+            assert pallas_conv.fused_conv_applicable(**kw)
+            # bench-JSON honesty: force counts as active
+            assert pallas_conv.is_active()
+            pallas_conv.MODE = "off"
+            assert not pallas_conv.is_active()
+        finally:
+            pallas_conv.MODE = old
