@@ -200,3 +200,38 @@ class TestFusedConv:
             assert not pallas_conv.is_active()
         finally:
             pallas_conv.MODE = old
+
+    @pytest.mark.slow
+    def test_full_pipeline_forced_fused(self):
+        """build_pipeline with the kernel forced on == pure-XLA pipeline at
+        the decision level (whole-image TTA8 + DDM + CC), including the
+        batched-tiles vmap path — exactly the program the TPU runs."""
+        from cdnet_tpu.config import Config
+        from cdnet_tpu.models import choose_model
+        from cdnet_tpu.ops import pallas_conv
+        from cdnet_tpu.infer import build_pipeline
+        cfg = Config()
+        cfg.test.tta = True
+        cfg.test.all_img_test = 1
+        cfg.post.postproc = 0
+        model = choose_model(cfg)
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.rand(64, 64, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(1),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+        old = pallas_conv.MODE
+        try:
+            pallas_conv.MODE = "off"
+            ref = build_pipeline(model, variables, cfg, (64, 64))(img)
+            pallas_conv.MODE = "force"
+            got = build_pipeline(model, variables, cfg, (64, 64))(img)
+            agree = (np.asarray(got["pred"])
+                     == np.asarray(ref["pred"])).mean()
+            assert agree > 0.98, agree
+            bp = build_pipeline(model, variables, cfg, (64, 64),
+                                batch_tiles=2)
+            r2 = bp(jnp.stack([img, img]))
+            np.testing.assert_array_equal(np.asarray(r2["pred"][0]),
+                                          np.asarray(r2["pred"][1]))
+        finally:
+            pallas_conv.MODE = old
