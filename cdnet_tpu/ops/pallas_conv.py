@@ -460,7 +460,7 @@ def fused_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
         # the smoke runs the kernel eagerly — skip the decision inside a
         # trace (jitted init); the next eager applicability check decides
         try:
-            from jax.core import trace_state_clean
+            from jax._src.core import trace_state_clean
             if not trace_state_clean():
                 return True
         except ImportError:
