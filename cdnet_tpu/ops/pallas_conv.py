@@ -184,11 +184,30 @@ def _conv_kernel(xp_ref, w_ref, s_ref, o_ref, out_ref, blk_ref, sem,
     out_ref[0] = y.astype(out_dtype).reshape(bh, s * t, cout)
 
 
+def _pick_bh(t: int, s: int, cin: int, cout: int, itemsize: int) -> int:
+    """Largest row-block in {8, 4, 2} whose VMEM working set fits a ~10 MB
+    budget (16 MB VMEM minus Mosaic temporaries/slack).
+
+    Estimate: double-buffered input block 2*(bh+2) rows + ~3 live K-folded
+    banks + the f32 accumulator + Mosaic's double-buffered output block.
+    At t=512 (1024-wide tiles, cin=cout=64) bh=8 lands ~15 MB — over; bh=4
+    fits with ~1.5x halo read amplification (6/4 rows), which is noise
+    against the MXU work per step."""
+    for bh in (8, 4, 2):
+        est = (2 * (bh + 2) * t * s * cin * itemsize      # input blocks
+               + 3 * bh * t * 3 * cin * itemsize          # live banks
+               + bh * t * s * cout * 4                    # f32 accumulator
+               + 2 * bh * t * s * cout * itemsize)        # output blocks
+        if est <= 10 * 1024 * 1024:
+            return bh
+    return 2
+
+
 @functools.partial(jax.jit, static_argnames=("relu", "interpret", "bh"))
 def conv3x3_affine_act(x: jnp.ndarray, kernel: jnp.ndarray,
                        scale: jnp.ndarray, offset: jnp.ndarray,
                        *, relu: bool = True, interpret: bool = False,
-                       bh: int = 8) -> jnp.ndarray:
+                       bh: int = 0) -> jnp.ndarray:
     """Fused stride-1 SAME 3x3 conv + per-channel affine + optional ReLU.
 
     x: (N, H, W, Cin); kernel: (3, 3, Cin, Cout) — computed at x.dtype
@@ -225,6 +244,8 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
     cout = kernel.shape[-1]
     assert kernel.shape[:3] == (3, 3, cin), kernel.shape
     s = _supertile_s(cout)
+    if bh == 0:  # auto: largest row-block whose working set fits VMEM
+        bh = _pick_bh(-(-w // s), s, cin, cout, x.dtype.itemsize)
     # geometry: rows blocked by bh, width supertiled by S. At the common
     # sizes (1024/512/256/64: s | W and bh | H) the input needs NO padded
     # copy at all — boundary halos are zero-filled in-kernel; ragged sizes
@@ -334,8 +355,12 @@ def ensure_tpu_kernel_or_disable() -> bool:
             # one case per enabled supertile width (S=2/4/8): a Mosaic
             # regression in ANY variant must disable the kernel, not crash
             # the first big pipeline compile that uses it
-            for cin, cout in ((64, 64), (32, 64), (96, 32), (80, 16)):
-                x = jnp.asarray(rng.randn(1, 16, 16, cin), jnp.bfloat16)
+            # (cin, cout, w): one case per supertile width, plus the WIDE
+            # geometry (w=1024 -> t=512) whose VMEM working set and bh
+            # choice differ from the small shapes
+            for cin, cout, w in ((64, 64, 16), (32, 64, 16), (96, 32, 16),
+                                 (80, 16, 16), (64, 64, 1024)):
+                x = jnp.asarray(rng.randn(1, 16, w, cin), jnp.bfloat16)
                 k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1,
                                 jnp.bfloat16)
                 s = jnp.asarray(rng.rand(cout) + 0.5, jnp.float32)
