@@ -105,8 +105,9 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
     with a weakly trained model, instance counts) can differ between modes;
     on CPU (true f32 convs) both modes match exactly
     (tests/test_e2e_goldens.py::test_batched_tiles_equal_single)."""
-    from cdnet_tpu.ops import pallas_conv
+    from cdnet_tpu.ops import pallas_cc, pallas_conv
     pallas_conv.ensure_tpu_kernel_or_disable()
+    pallas_cc.ensure_tpu_kernel_or_disable()
     # pin the variables on device ONCE: callers typically hold numpy trees
     # (checkpoint restore), and passing those to jit re-uploads the full
     # parameter set every call (measured 1.0s/call for the 82MB flagship
@@ -139,7 +140,16 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
                 for v in views]
         return {k: jnp.stack([o[k] for o in outs], axis=-3) for k in outs[0]}
 
+    # disable EVERY pallas kernel (conv, DDM, CC fixpoint) inside a
+    # >1-device mesh trace — pallas_call has no SPMD partitioning rule
+    mesh_multi = mesh is not None and getattr(mesh, "size", 1) > 1
+
     def _body(v_vars, image):
+        from cdnet_tpu.ops.pallas_gate import scoped_disable as _sd
+        with _sd(mesh_multi):
+            return _body_inner(v_vars, image)
+
+    def _body_inner(v_vars, image):
         views = T.expand(image) if use_tta else image[None]
         out = forward_views(v_vars, views)
         prob_v = T.invert_last2(out["prob"]) if use_tta else out["prob"]

@@ -25,8 +25,9 @@ def choose_model(cfg):
     # arm the fused-conv fallback eagerly, before any model.init can trace
     # the Pallas kernel (a Mosaic failure then degrades to XLA convs
     # instead of crashing the first compile that touches it)
-    from cdnet_tpu.ops import pallas_conv
+    from cdnet_tpu.ops import pallas_cc, pallas_conv
     pallas_conv.ensure_tpu_kernel_or_disable()
+    pallas_cc.ensure_tpu_kernel_or_disable()
     m = cfg.model
     dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
     name = m.model_name

@@ -87,7 +87,15 @@ def label(mask: jnp.ndarray, connectivity: int = 2):
         nv = sweep(v)
         return nv, jnp.any(nv != v)
 
-    vals, _ = jax.lax.while_loop(cond, body, (sweep(vals), jnp.array(True)))
+    from cdnet_tpu.ops import pallas_cc
+    if pallas_cc.fixpoint_applicable(h, w):
+        # same sweeps, VMEM-resident: no per-op dispatch between sweeps
+        vals = pallas_cc.min_fixpoint(
+            vals, mask, connectivity,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        vals, _ = jax.lax.while_loop(cond, body,
+                                     (sweep(vals), jnp.array(True)))
 
     # Relabel component roots (pixels equal to their own linear index) to
     # contiguous ids in raster order — identical numbering to skimage.

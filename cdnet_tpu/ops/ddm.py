@@ -62,7 +62,9 @@ def generate_dd_maps_batch(label_directions: jnp.ndarray,
     """(V, H, W) batched DDM: the fused Pallas kernel on TPU (one VMEM pass
     per view / row block instead of ~26 XLA HBM round trips), vmapped XLA
     elsewhere. Identical numerics (tests/test_pallas.py)."""
-    if direction_classes == 9 and jax.devices()[0].platform == "tpu":
+    from cdnet_tpu.ops.pallas_gate import scoped_off
+    if (direction_classes == 9 and not scoped_off()
+            and jax.devices()[0].platform == "tpu"):
         from cdnet_tpu.ops.pallas_kernels import generate_dd_maps_pallas
         return generate_dd_maps_pallas(label_directions, direction_classes)
     return jax.vmap(

@@ -304,28 +304,9 @@ def fold_affine(features: int, conv_bias, bn_params, bn_stats,
 
 _TPU_SMOKE: bool | None = None
 
-# trace-scoped disable (multi-device mesh pipelines): entered at TRACE time
-# around model.apply, so it scopes to the sharded program instead of
-# flipping the process-global MODE
-_SCOPED_OFF: list[bool] = []
-
-
-class scoped_disable:
-    """Context manager: disable fused-conv routing for traces inside the
-    block when ``flag`` is true (no-op otherwise)."""
-
-    def __init__(self, flag: bool):
-        self.flag = flag
-
-    def __enter__(self):
-        if self.flag:
-            _SCOPED_OFF.append(True)
-        return self
-
-    def __exit__(self, *exc):
-        if self.flag:
-            _SCOPED_OFF.pop()
-        return False
+# trace-scoped disable (multi-device mesh pipelines) — shared by every
+# Pallas kernel; re-exported here for the model-layer call sites
+from cdnet_tpu.ops.pallas_gate import scoped_disable, scoped_off  # noqa: E402
 
 
 def is_active() -> bool:
@@ -471,7 +452,7 @@ def fused_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
     trace that could reach the kernel (model.init, training validation,
     bench stage programs — not just build_pipeline) degrades to XLA convs
     on a Mosaic failure instead of crashing."""
-    if MODE == "off" or _SCOPED_OFF:
+    if MODE == "off" or scoped_off():
         return False
     shape_ok = (not train and tuple(kernel) == (3, 3)
                 and tuple(strides) == (1, 1) and tuple(dilation) == (1, 1)

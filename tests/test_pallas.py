@@ -235,3 +235,66 @@ class TestFusedConv:
                                           np.asarray(r2["pred"][1]))
         finally:
             pallas_conv.MODE = old
+
+
+class TestFixpointKernel:
+    """VMEM-resident min-propagation fixpoint (ops/pallas_cc.py) vs the
+    XLA segmented-scan implementations it replaces on TPU."""
+
+    @pytest.mark.parametrize("shape,conn", [
+        ((24, 128), 1), ((24, 128), 2), ((64, 256), 2)])
+    def test_cc_labels_equal_xla(self, shape, conn):
+        from cdnet_tpu.ops import pallas_cc, connected
+        rng = np.random.RandomState(0)
+        m = jnp.asarray(rng.rand(*shape) > 0.55)
+        old = pallas_cc.MODE
+        try:
+            pallas_cc.MODE = "off"
+            lab_ref, n_ref = connected.label(m, conn)
+            pallas_cc.MODE = "force"
+            lab_got, n_got = connected.label(m, conn)
+        finally:
+            pallas_cc.MODE = old
+        np.testing.assert_array_equal(np.asarray(lab_ref),
+                                      np.asarray(lab_got))
+        assert int(n_ref) == int(n_got)
+
+    def test_fill_holes_and_vmap(self):
+        from cdnet_tpu.ops import pallas_cc, morphology
+        rng = np.random.RandomState(1)
+        m = jnp.asarray(rng.rand(64, 256) > 0.4)
+        ms = jnp.asarray(rng.rand(3, 32, 128) > 0.5)
+        old = pallas_cc.MODE
+        try:
+            pallas_cc.MODE = "off"
+            f_ref = morphology.binary_fill_holes(m)
+            v_ref = jax.vmap(morphology.binary_fill_holes)(ms)
+            pallas_cc.MODE = "force"
+            f_got = morphology.binary_fill_holes(m)
+            v_got = jax.vmap(morphology.binary_fill_holes)(ms)
+        finally:
+            pallas_cc.MODE = old
+        np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_got))
+        np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_got))
+
+    def test_instancing_path_forced(self):
+        """instances_from_pred (fill-holes + CC4 + remove-small + CC8 +
+        dilate) is bit-identical with the kernel forced on."""
+        from cdnet_tpu.ops import pallas_cc
+        from cdnet_tpu.ops.postproc import instances_from_pred
+        rng = np.random.RandomState(2)
+        pred = jnp.asarray((rng.rand(64, 256) > 0.6).astype(np.int32) * 1)
+        old = pallas_cc.MODE
+        try:
+            pallas_cc.MODE = "off"
+            lab_ref, p2_ref = instances_from_pred(pred, min_area=4,
+                                                  radius=2)
+            pallas_cc.MODE = "force"
+            lab_got, p2_got = instances_from_pred(pred, min_area=4,
+                                                  radius=2)
+        finally:
+            pallas_cc.MODE = old
+        np.testing.assert_array_equal(np.asarray(lab_ref),
+                                      np.asarray(lab_got))
+        np.testing.assert_array_equal(np.asarray(p2_ref),
+                                      np.asarray(p2_got))
