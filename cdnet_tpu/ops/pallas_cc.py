@@ -128,15 +128,28 @@ def _make_fp(connectivity: int, interpret: bool):
     @jax.custom_batching.custom_vmap
     def op(vals, mask):
         h, w = vals.shape
-        return pl.pallas_call(
-            functools.partial(_fixpoint_kernel, h=h, w=w,
+        # align to the (8, 128) int32 tiling (real tiles are e.g. 1000x1000);
+        # pad pixels enter as reset/background, so semantics are unchanged
+        # and the in-kernel rolls see an exact tile grid
+        hp = -(-h // 8) * 8
+        wp = -(-w // 128) * 128
+        vals = vals.astype(jnp.int32)
+        reset = (~mask.astype(bool)).astype(jnp.int32)
+        if (hp, wp) != (h, w):
+            vals = jnp.pad(vals, ((0, hp - h), (0, wp - w)),
+                           constant_values=_INF)
+            reset = jnp.pad(reset, ((0, hp - h), (0, wp - w)),
+                            constant_values=1)
+        out = pl.pallas_call(
+            functools.partial(_fixpoint_kernel, h=hp, w=wp,
                               connectivity=connectivity),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
             interpret=interpret,
-        )(vals.astype(jnp.int32), (~mask.astype(bool)).astype(jnp.int32))
+        )(vals, reset)
+        return out[:h, :w]
 
     @op.def_vmap
     def _op_vmap(axis_size, in_batched, vals, mask):
@@ -205,7 +218,8 @@ def fixpoint_applicable(h: int, w: int) -> bool:
     from cdnet_tpu.ops.pallas_gate import scoped_off
     if MODE == "off" or scoped_off():
         return False
-    ok = h * w <= _MAX_PIXELS and h >= 8 and w >= 128
+    # VMEM cap on the PADDED map (the op aligns to the (8,128) tiling)
+    ok = (-(-h // 8) * 8) * (-(-w // 128) * 128) <= _MAX_PIXELS
     if MODE == "force":
         return ok
     return (ok and jax.default_backend() == "tpu"

@@ -298,3 +298,22 @@ class TestFixpointKernel:
                                       np.asarray(lab_got))
         np.testing.assert_array_equal(np.asarray(p2_ref),
                                       np.asarray(p2_got))
+
+    @pytest.mark.parametrize("shape,conn", [((50, 100), 2), ((30, 250), 1)])
+    def test_misaligned_shapes(self, shape, conn):
+        """Real tiles (1000x1000 etc.) are not (8,128)-aligned; the op pads
+        with background and slices back."""
+        from cdnet_tpu.ops import pallas_cc, connected
+        rng = np.random.RandomState(4)
+        m = jnp.asarray(rng.rand(*shape) > 0.55)
+        old = pallas_cc.MODE
+        try:
+            pallas_cc.MODE = "off"
+            lab_ref, n_ref = connected.label(m, conn)
+            pallas_cc.MODE = "force"
+            lab_got, n_got = connected.label(m, conn)
+        finally:
+            pallas_cc.MODE = old
+        np.testing.assert_array_equal(np.asarray(lab_ref),
+                                      np.asarray(lab_got))
+        assert int(n_ref) == int(n_got)
