@@ -43,20 +43,15 @@ def make_model_fn(model, mesh=None):
     natural shard axes, SURVEY.md §2.4) is sharded over the mesh's "data"
     axis; XLA partitions the convs and inserts any collectives.
     """
-    from cdnet_tpu.ops import pallas_conv
-    # pallas_call carries no SPMD partitioning rule: under a >1-device mesh
-    # the fused conv would fail to partition. scoped_disable enters at
-    # TRACE time, so it scopes to this sharded program only (a later
-    # single-device pipeline in the same process keeps the kernel).
-    fused_off = mesh is not None and getattr(mesh, "size", 1) > 1
-
     def fn(variables, batch):
+        # pallas-kernel routing under a >1-device mesh is gated by the
+        # caller (build_pipeline wraps the whole _body in scoped_disable —
+        # pallas_call carries no SPMD partitioning rule)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             batch = jax.lax.with_sharding_constraint(
                 batch, NamedSharding(mesh, P("data", None, None, None)))
-        with pallas_conv.scoped_disable(fused_off):
-            out = model.apply(variables, batch, train=False)
+        out = model.apply(variables, batch, train=False)
         # Epilogue runs CHANNEL-FIRST (C, B, H, W): a (B,H,W,C) f32 map with
         # C in {1,3,9} is lane-padded C->128 on TPU (up to 42x physical
         # bytes), and the softmax/scale/argmax chain over such maps measured

@@ -249,9 +249,14 @@ def composite_loss(outputs: dict, targets: dict, cfg,
     alpha = getattr(cfg.train, "alpha", 0)
     if alpha in (1, 2):
         from cdnet_tpu.ops.connected import label as cc_label
+        from cdnet_tpu.ops.pallas_gate import scoped_disable
         probs = jax.nn.softmax(outputs["mask"], axis=-1)
-        inst = jax.vmap(
-            lambda t: cc_label(t == 1, connectivity=2)[0])(targets["mask"])
+        # batched XLA CC: the pallas fixpoint would serialize under vmap
+        # and cannot partition in a sharded train program
+        with scoped_disable(True):
+            inst = jax.vmap(
+                lambda t: cc_label(t == 1, connectivity=2)[0]
+            )(targets["mask"])
         lv = variance_loss(probs, inst, max_instances)
         loss = loss + alpha * lv if alpha == 1 else alpha * lv
         comps["loss_var"] = lv

@@ -90,9 +90,7 @@ def label(mask: jnp.ndarray, connectivity: int = 2):
     from cdnet_tpu.ops import pallas_cc
     if pallas_cc.fixpoint_applicable(h, w):
         # same sweeps, VMEM-resident: no per-op dispatch between sweeps
-        vals = pallas_cc.min_fixpoint(
-            vals, mask, connectivity,
-            interpret=jax.default_backend() != "tpu")
+        vals = pallas_cc.min_fixpoint(vals, mask, connectivity)
     else:
         vals, _ = jax.lax.while_loop(cond, body,
                                      (sweep(vals), jnp.array(True)))

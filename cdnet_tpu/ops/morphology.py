@@ -175,11 +175,8 @@ def flood_reach(seed: jnp.ndarray, allowed: jnp.ndarray,
         from cdnet_tpu.ops import pallas_cc
         if pallas_cc.fixpoint_applicable(*seed.shape):
             # flood == min-propagation of 0-valued seeds through `allowed`
-            import jax as _jax
             vals = jnp.where(seed, jnp.int32(0), jnp.int32(2 ** 30))
-            res = pallas_cc.min_fixpoint(
-                vals, allowed, connectivity,
-                interpret=_jax.default_backend() != "tpu")
+            res = pallas_cc.min_fixpoint(vals, allowed, connectivity)
             return (res == 0) & allowed
 
     def sweep(r):

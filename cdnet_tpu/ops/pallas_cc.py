@@ -112,14 +112,18 @@ def _fixpoint_kernel(v_ref, reset_ref, out_ref, *, h: int, w: int,
     out_ref[...] = v
 
 
-@functools.partial(jax.jit, static_argnames=("connectivity", "interpret"))
 def min_fixpoint(vals: jnp.ndarray, mask: jnp.ndarray,
-                 connectivity: int = 2, interpret: bool = False):
+                 connectivity: int = 2, interpret: bool | None = None):
     """Propagate per-segment minima of ``vals`` over the True pixels of
     ``mask`` to the exact fixpoint. Pixels outside ``mask`` return _INF.
 
-    vmap-safe: batched calls run one whole-VMEM kernel per map via lax.map
-    (each map's fixpoint is independent; the kernel is single-block)."""
+    ``interpret`` defaults from the backend (interpret off-TPU) so callers
+    carry no routing logic. vmap-safe: batched calls run one whole-VMEM
+    kernel per map via lax.map (each map's fixpoint is independent; the
+    kernel is single-block) — callers with WIDE batch axes should prefer
+    the XLA path (see pallas_gate.scoped_disable call sites)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     return _make_fp(connectivity, interpret)(vals, mask)
 
 
@@ -181,7 +185,12 @@ def ensure_tpu_kernel_or_disable() -> bool:
             import numpy as np
             rng = np.random.RandomState(0)
             for h, w in ((64, 128), (1024, 1024)):
-                m = rng.rand(h, w) > 0.5
+                # structured blobs + sparse noise: converges in a few
+                # sweeps in BOTH implementations (a 50%-density noise mask
+                # percolates at 1024^2 and its giant component costs
+                # seconds of startup in the dispatch-bound XLA oracle)
+                yy, xx = np.mgrid[:h, :w]
+                m = ((yy % 64 < 40) & (xx % 64 < 40)) | (rng.rand(h, w) > .97)
                 v = jnp.where(jnp.asarray(m),
                               jnp.arange(h * w, dtype=jnp.int32
                                          ).reshape(h, w), _INF)
@@ -222,5 +231,16 @@ def fixpoint_applicable(h: int, w: int) -> bool:
     ok = (-(-h // 8) * 8) * (-(-w // 128) * 128) <= _MAX_PIXELS
     if MODE == "force":
         return ok
-    return (ok and jax.default_backend() == "tpu"
-            and ensure_tpu_kernel_or_disable())
+    if not (ok and jax.default_backend() == "tpu"):
+        return False
+    if _TPU_SMOKE is None:
+        # the smoke runs the kernel + the XLA oracle eagerly — skip the
+        # decision inside a trace; the next eager check decides (the
+        # choose_model / build_pipeline chokepoints arm it eagerly)
+        try:
+            from jax._src.core import trace_state_clean
+            if not trace_state_clean():
+                return True
+        except ImportError:
+            pass
+    return ensure_tpu_kernel_or_disable()

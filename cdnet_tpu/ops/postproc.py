@@ -144,7 +144,11 @@ def _per_instance_dilate_fill(labels: jnp.ndarray, radius: int,
         onehot = labels[None] == ids[:, None, None]
         dil = jax.vmap(
             lambda m: _diamond_dilation(m.astype(jnp.int32), radius) > 0)(onehot)
-        filled = jax.vmap(binary_fill_holes)(dil)
+        # batched XLA flood: a chunk-wide vmap over the pallas fixpoint
+        # would serialize into per-instance kernels (see pallas_cc._op_vmap)
+        from cdnet_tpu.ops.pallas_gate import scoped_disable
+        with scoped_disable(True):
+            filled = jax.vmap(binary_fill_holes)(dil)
         return jnp.max(jnp.where(filled, ids[:, None, None], 0), axis=0)
 
     def cond(state):

@@ -39,9 +39,15 @@ def prepare_targets(batch: dict, cfg, max_instances: int = 160) -> dict:
     train_util_dam.py:102.
     """
     m = cfg.model
-    synth = jax.vmap(
-        functools.partial(synthesize_labels, max_instances=max_instances)
-    )(batch["instance"].astype(jnp.int32))
+    # keep label synthesis on the batched XLA path: per-sample vmap over the
+    # pallas CC fixpoint would serialize via lax.map (and pallas_call cannot
+    # partition in a sharded train program) — the batched scans are already
+    # the right shape here
+    from cdnet_tpu.ops.pallas_gate import scoped_disable
+    with scoped_disable(True):
+        synth = jax.vmap(
+            functools.partial(synthesize_labels, max_instances=max_instances)
+        )(batch["instance"].astype(jnp.int32))
     mask_t = synth["label_3c"]
     targets = {
         "mask": mask_t,

@@ -42,6 +42,9 @@ CASES = [
     ("dam64", (8, 1024, 1024, 64), 64),
     ("dec16", (8, 1024, 1024, 80), 16),
     ("dec32", (8, 512, 512, 96), 32),
+    # hr18 is EXPERIMENTAL: cout=18 (S=7) is a geometry the router never
+    # enables and the smoke never verifies — this row decides whether to
+    # whitelist the HRNet channel counts, and may legitimately fail
     ("hr18", (8, 256, 256, 18), 18),
 ]
 for name, xshape, cout in CASES:
@@ -59,16 +62,19 @@ for name, xshape, cout in CASES:
         return jnp.maximum(y * s + o, 0.0).astype(jnp.bfloat16)
 
     gflop = 2 * 9 * np.prod(xshape[:3]) * cin * cout / 1e9
-    t_x = bench(xla_conv, x, k, s, o)
-    t_p = bench(lambda x, k, s, o: conv3x3_affine_act(x, k, s, o, relu=True),
-                x, k, s, o)
-    # numerics check
-    a = np.asarray(conv3x3_affine_act(x, k, s, o, relu=True), np.float32)
-    b = np.asarray(xla_conv(x, k, s, o), np.float32)
-    err = float(np.max(np.abs(a - b)))
-    print(f"{name}: xla {t_x*1e3:7.2f} ms ({gflop/t_x/1e3:6.1f} TF/s) | "
-          f"pallas {t_p*1e3:7.2f} ms ({gflop/t_p/1e3:6.1f} TF/s) | "
-          f"speedup {t_x/t_p:4.2f}x | max_err {err:.4f}", flush=True)
+    try:
+        t_x = bench(xla_conv, x, k, s, o)
+        t_p = bench(lambda x, k, s, o: conv3x3_affine_act(
+            x, k, s, o, relu=True), x, k, s, o)
+        # numerics check
+        a = np.asarray(conv3x3_affine_act(x, k, s, o, relu=True), np.float32)
+        b = np.asarray(xla_conv(x, k, s, o), np.float32)
+        err = float(np.max(np.abs(a - b)))
+        print(f"{name}: xla {t_x*1e3:7.2f} ms ({gflop/t_x/1e3:6.1f} TF/s) | "
+              f"pallas {t_p*1e3:7.2f} ms ({gflop/t_p/1e3:6.1f} TF/s) | "
+              f"speedup {t_x/t_p:4.2f}x | max_err {err:.4f}", flush=True)
+    except Exception as e:  # experimental geometries may fail Mosaic
+        print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
 
 
 # --- ConvTranspose phase-decomposition A/B (up5 shape) ---
