@@ -208,7 +208,7 @@ class TestFusedConv:
         batched-tiles vmap path — exactly the program the TPU runs."""
         from cdnet_tpu.config import Config
         from cdnet_tpu.models import choose_model
-        from cdnet_tpu.ops import pallas_conv
+        from cdnet_tpu.ops import pallas_cc, pallas_conv
         from cdnet_tpu.infer import build_pipeline
         cfg = Config()
         cfg.test.tta = True
@@ -219,22 +219,26 @@ class TestFusedConv:
         img = jnp.asarray(rng.rand(64, 64, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(1),
                                jnp.zeros((1, 64, 64, 3)), train=False)
-        old = pallas_conv.MODE
+        old = (pallas_conv.MODE, pallas_cc.MODE)
         try:
-            pallas_conv.MODE = "off"
+            pallas_conv.MODE = pallas_cc.MODE = "off"
             ref = build_pipeline(model, variables, cfg, (64, 64))(img)
-            pallas_conv.MODE = "force"
+            pallas_conv.MODE = pallas_cc.MODE = "force"
             got = build_pipeline(model, variables, cfg, (64, 64))(img)
             agree = (np.asarray(got["pred"])
                      == np.asarray(ref["pred"])).mean()
             assert agree > 0.98, agree
+            # instancing (fill-holes + CC via the fixpoint kernel) must be
+            # bit-identical given identical pred
+            np.testing.assert_array_equal(np.asarray(got["instances"]),
+                                          np.asarray(ref["instances"]))
             bp = build_pipeline(model, variables, cfg, (64, 64),
                                 batch_tiles=2)
             r2 = bp(jnp.stack([img, img]))
             np.testing.assert_array_equal(np.asarray(r2["pred"][0]),
                                           np.asarray(r2["pred"][1]))
         finally:
-            pallas_conv.MODE = old
+            pallas_conv.MODE, pallas_cc.MODE = old
 
 
 class TestFixpointKernel:
