@@ -88,7 +88,8 @@ def label(mask: jnp.ndarray, connectivity: int = 2):
         return nv, jnp.any(nv != v)
 
     from cdnet_tpu.ops import pallas_cc
-    if pallas_cc.fixpoint_applicable(h, w):
+    use_kernel = pallas_cc.fixpoint_applicable(h, w)
+    if use_kernel:
         # same sweeps, VMEM-resident: no per-op dispatch between sweeps
         vals = pallas_cc.min_fixpoint(vals, mask, connectivity)
     else:
@@ -99,8 +100,18 @@ def label(mask: jnp.ndarray, connectivity: int = 2):
     # contiguous ids in raster order — identical numbering to skimage.
     is_root = mask & (vals == idx)
     ranks = jnp.cumsum(is_root.reshape(-1)).reshape(h, w).astype(jnp.int32)
-    root_label = jnp.where(is_root, ranks, 0).reshape(-1)
-    # component id of each pixel = rank of its root
-    safe = jnp.clip(vals.reshape(-1), 0, h * w - 1)
-    labels = jnp.where(mask.reshape(-1), root_label[safe], 0).reshape(h, w)
+    if use_kernel:
+        # gather-free tail: spread each root's rank through its component
+        # with a second in-VMEM fixpoint (only the root is non-INF, so the
+        # component min IS the root's rank — identical to the gather, and
+        # a 1M-element gather costs ~8 ms on this chip)
+        seeded = jnp.where(is_root, ranks, _INF)
+        labels = pallas_cc.min_fixpoint(seeded, mask, connectivity)
+        labels = jnp.where(mask, labels, 0)
+    else:
+        root_label = jnp.where(is_root, ranks, 0).reshape(-1)
+        # component id of each pixel = rank of its root
+        safe = jnp.clip(vals.reshape(-1), 0, h * w - 1)
+        labels = jnp.where(mask.reshape(-1), root_label[safe],
+                           0).reshape(h, w)
     return labels, jnp.max(ranks)
