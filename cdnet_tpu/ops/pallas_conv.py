@@ -180,8 +180,11 @@ def _conv_kernel(xp_ref, w_ref, s_ref, o_ref, out_ref, blk_ref, sem,
     y = acc * s_ref[0] + o_ref[0]
     if relu:
         y = jnp.maximum(y, 0.0)
-    # un-supertile: (bh, t, s*cout) -> (bh, s*t, cout); col s*u+p is n=(p,co)
-    out_ref[0] = y.astype(out_dtype).reshape(bh, s * t, cout)
+    # keep the supertile packing (bh, t, s*cout): un-packing to
+    # (bh, s*t, cout) here is a lane->sublane shuffle Mosaic rejects
+    # ("unsupported shape cast"); row-major it is the SAME bytes, so the
+    # caller reshapes the HBM result for free instead
+    out_ref[0] = y.astype(out_dtype)
 
 
 def _pick_bh(t: int, s: int, cin: int, cout: int, itemsize: int) -> int:
@@ -276,14 +279,17 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
             pl.BlockSpec((1, s * cout), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bh, s * t, cout),
+        out_specs=pl.BlockSpec((1, bh, t, s * cout),
                                lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, hp, s * t, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, hp, t, s * cout), x.dtype),
         scratch_shapes=[pltpu.VMEM((2, bh + 2, t, s * cin), x.dtype),
                         pltpu.SemaphoreType.DMA((2, 3))],
         interpret=interpret,
     )(xp2, w_blocks, s2, o2)
+    # un-supertile in HBM: (t, s*cout) -> (s*t, cout) is a row-major bitcast
+    # (col s*u+p, channel co lives at flat u*s*cout + p*cout + co both ways)
+    out = out.reshape(n, hp, s * t, cout)
     return out[:, :h, :w, :]
 
 
