@@ -169,11 +169,10 @@ class UpsampleBlock(nn.Module):
         norm = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             dtype=self.dtype, param_dtype=jnp.float32,
                             name="BatchNorm_0")
-        if pallas_conv.fused_conv_applicable(
-                train=train, kernel=(3, 3), strides=(1, 1), dilation=(1, 1),
-                padding="SAME", cout=4 * self.features, dtype=self.dtype):
-            # convT(4,4,s2)+BN+ReLU == phase-decomposed 3x3 conv through
-            # the supertile kernel + depth-to-space (convt_phase_kernel)
+        if pallas_conv.phase_convt_applicable(train=train):
+            # convT(4,4,s2)+BN+ReLU == phase-decomposed 3x3 XLA conv +
+            # folded affine + depth-to-space (6.1x over XLA's native
+            # conv_transpose at the up5 shape — see phase_convt_applicable)
             x = pallas_conv.route_fused_convt(self, convt, norm, x,
                                               features=self.features)
         else:

@@ -76,7 +76,7 @@ def _supertile_weights(kernel: jnp.ndarray, s: int) -> jnp.ndarray:
 
 def _conv_kernel(xp_ref, w_ref, s_ref, o_ref, out_ref, blk_ref, sem,
                  *, bh: int, t: int, s: int, cin: int, cout: int,
-                 relu: bool, out_dtype):
+                 sc_pad: int, relu: bool, out_dtype):
     """One (bh, s*t, cout) output row-block.
 
     xp_ref: (N, H, T, s*cin) phase-merged UNPADDED input (HBM/ANY — the
@@ -148,11 +148,11 @@ def _conv_kernel(xp_ref, w_ref, s_ref, o_ref, out_ref, blk_ref, sem,
 
     @pl.when(r == 0)
     def _():
-        blk_ref[cur, 0] = jnp.zeros((t, s * cin), out_dtype)
+        blk_ref[cur, 0] = jnp.zeros((t, sc_pad), out_dtype)
 
     @pl.when(r == rows - 1)
     def _():
-        blk_ref[cur, bh + 1] = jnp.zeros((t, s * cin), out_dtype)
+        blk_ref[cur, bh + 1] = jnp.zeros((t, sc_pad), out_dtype)
 
     blk = blk_ref[cur]  # (bh+2, t, s*cin): lanes = S column phases
 
@@ -247,8 +247,10 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
     cout = kernel.shape[-1]
     assert kernel.shape[:3] == (3, 3, cin), kernel.shape
     s = _supertile_s(cout)
+    # lane-aligned merged channel dim (see the pad below) drives VMEM use
+    _sc_pad = -(-(s * cin) // 128) * 128
     if bh == 0:  # auto: largest row-block whose working set fits VMEM
-        bh = _pick_bh(-(-w // s), s, cin, cout, x.dtype.itemsize)
+        bh = _pick_bh(-(-w // s), s, _sc_pad // s, cout, x.dtype.itemsize)
     # geometry: rows blocked by bh, width supertiled by S. At the common
     # sizes (1024/512/256/64: s | W and bh | H) the input needs NO padded
     # copy at all — boundary halos are zero-filled in-kernel; ragged sizes
@@ -261,6 +263,15 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
     # column phase-merge is free in HBM: row-major (..., S*T, Cin) is
     # bit-identical to (..., T, S*Cin)
     xp2 = x.reshape(n, hp, t, s * cin)
+    # Mosaic requires HBM memref slices to be 128-lane aligned: when
+    # S*Cin < k*128 the halo DMAs fail to compile ("Slice shape along
+    # dimension 3 must be aligned to tiling (128)"). Pad the merged dim up
+    # to a lane multiple — phases stay at q*cin, the pad region is DMA'd
+    # but never read by the banks. One extra HBM copy of the input
+    # (~0.5 ms at up5's 128 MB), amortized by the 2.5x kernel win.
+    sc_pad = _sc_pad
+    if sc_pad != s * cin:
+        xp2 = jnp.pad(xp2, ((0, 0), (0, 0), (0, 0), (0, sc_pad - s * cin)))
 
     w_blocks = _supertile_weights(kernel.astype(x.dtype), s)
     s2 = jnp.tile(scale.astype(jnp.float32), s)[None]   # (1, S*Cout)
@@ -268,7 +279,7 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
 
     out = pl.pallas_call(
         functools.partial(_conv_kernel, bh=bh, t=t, s=s, cin=cin, cout=cout,
-                          relu=relu, out_dtype=x.dtype),
+                          sc_pad=sc_pad, relu=relu, out_dtype=x.dtype),
         grid=(n, hp // bh),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -283,7 +294,7 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
                                lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, hp, t, s * cout), x.dtype),
-        scratch_shapes=[pltpu.VMEM((2, bh + 2, t, s * cin), x.dtype),
+        scratch_shapes=[pltpu.VMEM((2, bh + 2, t, sc_pad), x.dtype),
                         pltpu.SemaphoreType.DMA((2, 3))],
         interpret=interpret,
     )(xp2, w_blocks, s2, o2)
@@ -339,14 +350,14 @@ def ensure_tpu_kernel_or_disable() -> bool:
         try:
             import numpy as np
             rng = np.random.RandomState(0)
-            # one case per enabled supertile width (S=2/4/8): a Mosaic
-            # regression in ANY variant must disable the kernel, not crash
-            # the first big pipeline compile that uses it
-            # (cin, cout, w): one case per supertile width, plus the WIDE
-            # geometry (w=1024 -> t=512) whose VMEM working set and bh
-            # choice differ from the small shapes
-            for cin, cout, w in ((64, 64, 16), (32, 64, 16), (96, 32, 16),
-                                 (80, 16, 16), (64, 64, 1024)):
+            # the routed geometries (policy: Cout=16 only): the decoder
+            # tail's 80->16 and 16->16 convs, plus the WIDE geometry
+            # (w=1024 -> t=128) whose VMEM working set and bh choice
+            # differ, and one lane-pad case (s*cin not a 128 multiple).
+            # A Mosaic regression in ANY of them must disable the kernel,
+            # not crash the first big pipeline compile that uses it.
+            for cin, cout, w in ((80, 16, 16), (16, 16, 16), (24, 16, 16),
+                                 (80, 16, 1024)):
                 x = jnp.asarray(rng.randn(1, 16, w, cin), jnp.bfloat16)
                 k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1,
                                 jnp.bfloat16)
@@ -427,12 +438,28 @@ def depth_to_space2(y: jnp.ndarray, cout: int) -> jnp.ndarray:
         0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, cout)
 
 
+def phase_convt_applicable(*, train: bool) -> bool:
+    """Whether UpsampleBlock should lower ConvTranspose via the phase
+    decomposition. Pure XLA (no Mosaic risk), so the only gates are
+    inference mode and backend (TPU, or "force" so CPU tests cover it).
+    Measured (experiments/conv_kernel_ab A/B, v5e, batch-8 decoder shapes):
+    XLA's native conv_transpose lowering runs 9.07 ms at the 32->16@512
+    up-block vs 1.48 ms for the phase-decomposed 3x3 conv (6.1x), and the
+    deeper blocks drop below the dispatch floor; the pallas supertile
+    variant of the same decomposition measured 2.75 ms — XLA wins once the
+    conv is phase-dense, so this path uses the XLA conv."""
+    if MODE == "force":
+        return not train
+    return (MODE != "off" and not train and not scoped_off()
+            and jax.default_backend() == "tpu")
+
+
 def route_fused_convt(parent, convt, norm, x, *, features: int,
                       convt_name: str = "ConvTranspose_0",
                       bn_name: str = "BatchNorm_0"):
-    """Route ConvTranspose(4,4,s2) + BatchNorm + ReLU through the fused
-    kernel: phase-decomposed 3x3 conv + BN/ReLU epilogue + depth-to-space.
-    Caller must have checked fused_conv_applicable(cout=4*features)."""
+    """Lower ConvTranspose(4,4,s2) + BatchNorm + ReLU as a phase-decomposed
+    stride-1 3x3 XLA conv + folded affine + ReLU + depth-to-space.
+    Caller must have checked phase_convt_applicable()."""
     y = convt(x[:1, :1, :1, :])
     if norm is not None:
         norm(y)
@@ -443,9 +470,12 @@ def route_fused_convt(parent, convt, norm, x, *, features: int,
         params.get(bn_name) if norm is not None else None,
         parent.variables["batch_stats"][bn_name] if norm is not None
         else None)
-    y3 = conv3x3_affine_act(
-        x.astype(convt.dtype), k3, jnp.tile(scale, 4), jnp.tile(offset, 4),
-        relu=True, interpret=jax.default_backend() != "tpu")
+    y3 = jax.lax.conv_general_dilated(
+        x.astype(convt.dtype), k3.astype(convt.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y3 = y3 * jnp.tile(scale, 4) + jnp.tile(offset, 4)
+    y3 = jnp.maximum(y3, 0.0).astype(x.dtype)
     return depth_to_space2(y3, features)
 
 
@@ -466,7 +496,13 @@ def fused_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
                 and dtype == jnp.bfloat16)
     if MODE == "force":
         return shape_ok
-    if not (shape_ok and jax.default_backend() == "tpu"):
+    # Measured routing policy (experiments/conv_kernel_ab.py, v5e, in-jit
+    # floor-amortized): the kernel wins only where XLA is lane-starved —
+    # Cout=16 (XLA 9.4 TF/s vs pallas 15.0, 1.59x). At Cout=64 XLA's conv
+    # runs 68 TF/s and the kernel's (S+2)/S=2x MXU overhead loses (0.64x);
+    # Cout=32 similarly loses (0.70x). "force" keeps the full supported set
+    # so tests exercise every geometry.
+    if not (shape_ok and cout == 16 and jax.default_backend() == "tpu"):
         return False
     if _TPU_SMOKE is None:
         # the smoke runs the kernel eagerly — skip the decision inside a

@@ -50,6 +50,10 @@ class TestFusedConv:
         ((1, 9, 7), 16, 16, True),     # S=8 with tiny channel counts
         ((2, 16, 21), 18, 18, True),   # HRNet W18 (S=7, non-pow2 channels)
         ((1, 12, 24), 36, 36, True),   # HRNet stage-2 (S=3)
+        ((2, 10, 12), 32, 64, True),   # S*Cin=64 < 128: lane-pad path (the
+                                       # convT up5 shape Mosaic rejected
+                                       # before the HBM channel pad)
+        ((1, 8, 14), 48, 64, False),   # S*Cin=96: pad to 128, no act
     ])
     def test_matches_xla_conv(self, shape, cin, cout, relu):
         from cdnet_tpu.ops.pallas_conv import conv3x3_affine_act
