@@ -19,8 +19,11 @@ tail stays in XLA); :func:`flood from seeds <cdnet_tpu.ops.morphology.
 flood_reach>` is the same primitive with seed values 0.
 
 Guarded like ops/pallas_conv: routed only on TPU (or MODE="force" with
-interpret on CPU), smoke-verified at both a small and the full 1024^2
-geometry, and disabled process-wide on any Mosaic failure.
+interpret on CPU), smoke-verified at both a small and the largest routed
+geometry (_MAX_PIXELS), and disabled process-wide on any Mosaic failure.
+Maps past _MAX_PIXELS (e.g. the 1000^2 inference tiles) keep the XLA scan
+path: the whole-map fixpoint's ~9 live s32 arrays exceed the v5e's ~16 MB
+VMEM there (measured: Mosaic's allocator rejects the 1024^2 geometry).
 """
 from __future__ import annotations
 
@@ -35,8 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 MODE = _os.environ.get("CDNET_PALLAS_CC", "auto")
 
 _INF = 2 ** 30  # python int: jnp scalars would be captured consts in the kernel
-# whole-map kernel: v + reset + temporaries must fit ~12 MB of VMEM
-_MAX_PIXELS = 1024 * 1024
+# whole-map kernel: the fixpoint keeps ~9 live (h, w) s32 arrays in VMEM
+# (v/reset/out + the scan state sv/sr/nv/nr + the iotas), so the map must
+# fit ~16 MB / 9 ≈ 1.8 MB -> 512x896 s32 max. Measured on real v5e: the
+# 1024^2 geometry is REJECTED by Mosaic's VMEM allocator (scoped allocs
+# exceed capacity), so large maps keep the XLA scan path until a
+# block-grid + boundary-merge variant exists.
+_MAX_PIXELS = 512 * 896
 
 
 def _log_steps(n: int) -> list[int]:
@@ -52,16 +60,20 @@ def _fixpoint_kernel(v_ref, reset_ref, out_ref, *, h: int, w: int,
     """Segmented min-propagation to fixpoint over one (h, w) map in VMEM."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    reset = reset_ref[...] != 0
-    mask = ~reset
+    # reset flags stay int32 (0/1) throughout: Mosaic cannot lower
+    # tpu.dynamic_rotate (pltpu.roll) on i1 vectors — rolling a bool state
+    # here fails remote compile on real v5e hardware ("unsupported shape/
+    # type"), which silently demoted the whole kernel to the XLA path
+    reset_i = reset_ref[...]
+    mask = reset_i == 0
 
     def seg_scan(v, axis):
         """Bidirectional segmented min-scan along ``axis`` (Hillis-Steele:
-        value INF / reset True flow in at the segment borders)."""
+        value INF / reset 1 flow in at the segment borders)."""
         n = w if axis == 1 else h
         pos = cols if axis == 1 else rows
         for rev in (False, True):
-            sv, sr = v, reset
+            sv, sr = v, reset_i
             for d in _log_steps(n):
                 # neighbor at distance d BEHIND the scan direction
                 shift = (-d) % n if rev else d
@@ -69,8 +81,8 @@ def _fixpoint_kernel(v_ref, reset_ref, out_ref, *, h: int, w: int,
                 nr = pltpu.roll(sr, shift, axis)
                 edge = pos > n - 1 - d if rev else pos < d
                 nv = jnp.where(edge, _INF, nv)
-                nr = jnp.where(edge, True, nr)
-                sv = jnp.where(sr, sv, jnp.minimum(sv, nv))
+                nr = jnp.where(edge, 1, nr)
+                sv = jnp.where(sr != 0, sv, jnp.minimum(sv, nv))
                 sr = sr | nr
             v = jnp.minimum(v, sv)
         return jnp.where(mask, v, _INF)
@@ -184,7 +196,9 @@ def ensure_tpu_kernel_or_disable() -> bool:
         try:
             import numpy as np
             rng = np.random.RandomState(0)
-            for h, w in ((64, 128), (1024, 1024)):
+            # small + the largest geometry the router will ever send
+            # (_MAX_PIXELS); anything bigger stays on the XLA scans
+            for h, w in ((64, 128), (512, 896)):
                 # structured blobs + sparse noise: converges in a few
                 # sweeps in BOTH implementations (a 50%-density noise mask
                 # percolates at 1024^2 and its giant component costs
