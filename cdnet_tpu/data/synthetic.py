@@ -12,8 +12,13 @@ import numpy as np
 
 
 def synthetic_tile(rng: np.random.RandomState, size: int = 256,
-                   n_nuclei: tuple[int, int] = (8, 24)):
-    """Returns (image uint8 HWC, instance int32 HW, weight uint8 HW)."""
+                   n_nuclei: tuple[int, int] = (8, 24),
+                   radii: tuple[int, int] = (4, 11)):
+    """Returns (image uint8 HWC, instance int32 HW, weight uint8 HW).
+
+    ``radii``: half-axis range of the elliptical nuclei — small tiles
+    (e.g. the multichip dryrun's 64 px) use smaller radii so many
+    instances fit without touching."""
     h = w = size
     inst = np.zeros((h, w), np.int32)
     yy, xx = np.mgrid[0:h, 0:w]
@@ -21,7 +26,7 @@ def synthetic_tile(rng: np.random.RandomState, size: int = 256,
     k = 0
     for _ in range(n):
         cy, cx = rng.randint(8, h - 8), rng.randint(8, w - 8)
-        a, b = rng.randint(4, 11), rng.randint(4, 11)
+        a, b = rng.randint(*radii), rng.randint(*radii)
         theta = rng.rand() * np.pi
         ct, st = np.cos(theta), np.sin(theta)
         u = (yy - cy) * ct + (xx - cx) * st
