@@ -336,6 +336,101 @@ def import_hrnet18(state_dict: dict[str, np.ndarray]):
     return params, stats
 
 
+# Upstream torchvision weight URLs the reference's backbones load
+# (model_unet_rev1.py:40-41 via torchvision pretrained=True). HRNet-W18-small
+# has no stable direct URL — download hrnet_w18_small_model_v1.pth from the
+# MSFT HRNet-Image-Classification release page and use --convert.
+FETCH_URLS = {
+    "vgg16_bn": "https://download.pytorch.org/models/vgg16_bn-6c64b313.pth",
+    "resnet50": "https://download.pytorch.org/models/resnet50-0676ba61.pth",
+    "resnet101": "https://download.pytorch.org/models/resnet101-63fe2227.pth",
+}
+
+# model_name -> (importer, needs state-dict prefix handling)
+_BACKBONE_OF = {"vgg16_bn": "vgg16_bn", "resnet50": "resnet50",
+                "resnet101": "resnet101", "hrnet18": "hrnet18"}
+
+
+def convert_backbone(sd: dict[str, np.ndarray], backbone: str):
+    """Dispatch a raw torch state dict to the right importer. Returns
+    (params, batch_stats) numpy trees."""
+    if backbone == "vgg16_bn":
+        prefix = "features." if any(k.startswith("features.") for k in sd) \
+            else ""
+        return import_vgg16_bn(sd, prefix=prefix)
+    if backbone in ("resnet50", "resnet101"):
+        return import_resnet(sd, backbone)
+    if backbone == "hrnet18":
+        return import_hrnet18(sd)
+    raise ValueError(f"unknown backbone {backbone!r}; "
+                     f"choose from {sorted(_BACKBONE_OF)}")
+
+
+def main(argv=None):
+    """CLI: fetch/convert pretrained backbone weights (VERDICT r3 #8).
+
+    The published 0.8316 Dice / 0.6331 AJI numbers start from ImageNet
+    backbones (`model_unet_rev1.py:40-41`); training from scratch will not
+    reach them. On a connected machine:
+
+        python -m cdnet_tpu.models.weights --fetch vgg16_bn \
+            --out weights/vgg16_bn.pth
+
+    then train with ``--pretrained 1 --pretrained-path weights/vgg16_bn.pth``
+    (apply_pretrained picks the importer from the model name). Already have
+    a .pth (e.g. MSFT's hrnet_w18_small_model_v1.pth, which has no stable
+    URL)? ``--convert path.pth --backbone hrnet18`` validates it through the
+    importer and reports layer coverage. This environment has no egress —
+    --fetch errors out cleanly offline; the importers themselves are pinned
+    by offline tests on synthesized state dicts (tests/test_weights.py).
+    """
+    import argparse
+    import os
+
+    p = argparse.ArgumentParser(description=main.__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--fetch", choices=sorted(FETCH_URLS),
+                   help="download a torchvision backbone .pth (needs egress)")
+    p.add_argument("--convert", metavar="PTH",
+                   help="validate a local torch .pth through the importer")
+    p.add_argument("--backbone", choices=sorted(_BACKBONE_OF),
+                   help="importer for --convert (inferred for --fetch)")
+    p.add_argument("--out", default="", help="output path for --fetch")
+    ns = p.parse_args(argv)
+
+    if ns.fetch:
+        import torch
+        out = ns.out or f"weights/{ns.fetch}.pth"
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        try:
+            sd = torch.hub.load_state_dict_from_url(
+                FETCH_URLS[ns.fetch], map_location="cpu", progress=True)
+        except Exception as e:  # noqa: BLE001 — offline box: say so clearly
+            raise SystemExit(
+                f"fetch failed ({type(e).__name__}: {e}) — this machine "
+                f"likely has no egress; download {FETCH_URLS[ns.fetch]} "
+                f"elsewhere and pass it via --pretrained-path") from e
+        torch.save(sd, out)
+        print(f"saved {ns.fetch} -> {out}")
+        ns.convert, ns.backbone = out, ns.fetch
+
+    if ns.convert:
+        if not ns.backbone:
+            raise SystemExit("--convert requires --backbone")
+        sd = load_torch_state_dict(ns.convert)
+        params, stats = convert_backbone(sd, ns.backbone)
+        import jax
+        n_leaves = len(jax.tree.leaves(params))
+        n_params = sum(int(np.prod(np.shape(x)))
+                       for x in jax.tree.leaves(params))
+        print(f"{ns.convert}: importer OK — {n_leaves} tensors, "
+              f"{n_params / 1e6:.1f}M params, "
+              f"{len(jax.tree.leaves(stats))} batch-stat tensors")
+        print(f"use with: --pretrained 1 --pretrained-path {ns.convert}")
+    elif not ns.fetch:
+        p.print_help()
+
+
 def graft_backbone(variables: dict, backbone_params: dict,
                    backbone_stats: dict, backbone_name: str | None = "backbone"):
     """Replace the backbone subtree of a model's variables in-place-style.
@@ -377,3 +472,7 @@ def graft_backbone(variables: dict, backbone_params: dict,
         check(backbone_stats, stats[backbone_name])
         stats[backbone_name] = jax.tree.map(np.asarray, backbone_stats)
     return {"params": params, "batch_stats": stats}
+
+
+if __name__ == "__main__":
+    main()
