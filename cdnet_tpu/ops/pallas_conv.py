@@ -443,11 +443,13 @@ def phase_convt_applicable(*, train: bool) -> bool:
     decomposition. Pure XLA (no Mosaic risk), so the only gates are
     inference mode and backend (TPU, or "force" so CPU tests cover it).
     Measured (experiments/conv_kernel_ab A/B, v5e, batch-8 decoder shapes):
-    XLA's native conv_transpose lowering runs 9.07 ms at the 32->16@512
-    up-block vs 1.48 ms for the phase-decomposed 3x3 conv (6.1x), and the
-    deeper blocks drop below the dispatch floor; the pallas supertile
-    variant of the same decomposition measured 2.75 ms — XLA wins once the
-    conv is phase-dense, so this path uses the XLA conv."""
+    XLA's native conv_transpose lowering runs ~9-10 ms at the 32->16@512
+    up-block vs ~1.5-2.4 ms for the phase-decomposed 3x3 conv (4-6x across
+    runs; the 2026-08-19 run in experiments/PERF.md §5 — the table of
+    record — measured 9.78 -> 2.42 ms = 4.04x), and the deeper blocks drop
+    below the dispatch floor; the pallas supertile variant of the same
+    decomposition measured 2.75 ms — XLA wins once the conv is
+    phase-dense, so this path uses the XLA conv."""
     if MODE == "force":
         return not train
     return (MODE != "off" and not train and not scoped_off()
@@ -497,11 +499,13 @@ def fused_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
     if MODE == "force":
         return shape_ok
     # Measured routing policy (experiments/conv_kernel_ab.py, v5e, in-jit
-    # floor-amortized): the kernel wins only where XLA is lane-starved —
-    # Cout=16 (XLA 9.4 TF/s vs pallas 15.0, 1.59x). At Cout=64 XLA's conv
-    # runs 68 TF/s and the kernel's (S+2)/S=2x MXU overhead loses (0.64x);
-    # Cout=32 similarly loses (0.70x). "force" keeps the full supported set
-    # so tests exercise every geometry.
+    # floor-amortized; run-to-run variance ~5-10%, the 2026-08-19 run in
+    # experiments/PERF.md §5 is the table of record): the kernel wins only
+    # where XLA is lane-starved — Cout=16 (XLA ~9 TF/s vs pallas ~15,
+    # 1.6-1.7x across runs). At Cout=64 XLA's conv runs 65-68 TF/s and the
+    # kernel's (S+2)/S=2x MXU overhead loses (~0.65x); Cout=32 similarly
+    # loses (~0.7x). "force" keeps the full supported set so tests
+    # exercise every geometry.
     if not (shape_ok and cout == 16 and jax.default_backend() == "tpu"):
         return False
     if _TPU_SMOKE is None:
