@@ -76,7 +76,7 @@ def _supertile_weights(kernel: jnp.ndarray, s: int) -> jnp.ndarray:
 
 def _conv_kernel(xp_ref, w_ref, s_ref, o_ref, out_ref, blk_ref, sem,
                  *, bh: int, t: int, s: int, cin: int, cout: int,
-                 sc_pad: int, relu: bool, out_dtype):
+                 sc_pad: int, ncp: int, relu: bool, out_dtype):
     """One (bh, s*t, cout) output row-block.
 
     xp_ref: (N, H, T, s*cin) phase-merged UNPADDED input (HBM/ANY — the
@@ -170,7 +170,11 @@ def _conv_kernel(xp_ref, w_ref, s_ref, o_ref, out_ref, blk_ref, sem,
             return jnp.pad(sl[:, 1:], ((0, 0), (0, 1), (0, 0)))
         return sl
 
-    acc = jnp.zeros((bh, t, s * cout), jnp.float32)
+    # ncp = 128-lane-aligned S*Cout (S*Cout itself for the pow2 channel
+    # counts; padded for e.g. HRNet's S=7 x Cout=18 = 126 — a 126-lane VMEM
+    # output block violates Mosaic's tiling and was the "S=7 reshape
+    # failure" that kept HRNet off this kernel, PERF.md §5)
+    acc = jnp.zeros((bh, t, ncp), jnp.float32)
     for i, dj in enumerate(range(-1, s + 1)):
         acc = acc + jax.lax.dot_general(
             bank(dj), w_ref[i],
@@ -276,28 +280,41 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
     w_blocks = _supertile_weights(kernel.astype(x.dtype), s)
     s2 = jnp.tile(scale.astype(jnp.float32), s)[None]   # (1, S*Cout)
     o2 = jnp.tile(offset.astype(jnp.float32), s)[None]
+    # 128-lane-align the packed output channels (S*Cout = 126 for HRNet's
+    # Cout=18/S=7, 108 for Cout=36/S=3): Mosaic rejects misaligned VMEM
+    # output blocks. Weights/affines get zero pad lanes; the pad output
+    # columns are sliced off in HBM below.
+    nc = s * cout
+    ncp = -(-nc // 128) * 128
+    if ncp != nc:
+        w_blocks = jnp.pad(w_blocks, ((0, 0), (0, 0), (0, ncp - nc)))
+        s2 = jnp.pad(s2, ((0, 0), (0, ncp - nc)))
+        o2 = jnp.pad(o2, ((0, 0), (0, ncp - nc)))
 
     out = pl.pallas_call(
         functools.partial(_conv_kernel, bh=bh, t=t, s=s, cin=cin, cout=cout,
-                          sc_pad=sc_pad, relu=relu, out_dtype=x.dtype),
+                          sc_pad=sc_pad, ncp=ncp, relu=relu,
+                          out_dtype=x.dtype),
         grid=(n, hp // bh),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((s + 2, 3 * cin, s * cout), lambda i, r: (0, 0, 0),
+            pl.BlockSpec((s + 2, 3 * cin, ncp), lambda i, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s * cout), lambda i, r: (0, 0),
+            pl.BlockSpec((1, ncp), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s * cout), lambda i, r: (0, 0),
+            pl.BlockSpec((1, ncp), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bh, t, s * cout),
+        out_specs=pl.BlockSpec((1, bh, t, ncp),
                                lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, hp, t, s * cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, hp, t, ncp), x.dtype),
         scratch_shapes=[pltpu.VMEM((2, bh + 2, t, sc_pad), x.dtype),
                         pltpu.SemaphoreType.DMA((2, 3))],
         interpret=interpret,
     )(xp2, w_blocks, s2, o2)
+    if ncp != nc:
+        out = out[..., :nc]
     # un-supertile in HBM: (t, s*cout) -> (s*t, cout) is a row-major bitcast
     # (col s*u+p, channel co lives at flat u*s*cout + p*cout + co both ways)
     out = out.reshape(n, hp, s * t, cout)
@@ -494,7 +511,7 @@ def fused_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
         return False
     shape_ok = (not train and tuple(kernel) == (3, 3)
                 and tuple(strides) == (1, 1) and tuple(dilation) == (1, 1)
-                and padding == "SAME" and cout in (16, 32, 64)
+                and padding == "SAME" and cout in (16, 18, 32, 36, 64)
                 and dtype == jnp.bfloat16)
     if MODE == "force":
         return shape_ok
