@@ -110,7 +110,11 @@ def main():
 
     size = int(os.environ.get("ROOFLINE_SIZE", "1024"))
     cfg = Config()
-    model = choose_model(cfg)   # UNet2RevA1_vgg16, bf16 compute
+    # ROOFLINE_MODEL=HRNet18_rev1 prices the paper flagship instead of the
+    # default UNet2RevA1_vgg16 (VERDICT r3 #4 receipt)
+    cfg.model.model_name = os.environ.get("ROOFLINE_MODEL",
+                                          cfg.model.model_name)
+    model = choose_model(cfg)   # bf16 compute
     model_fn = make_model_fn(model)
 
     x0 = jnp.zeros((1, size, size, 3), jnp.float32)
