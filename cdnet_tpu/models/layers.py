@@ -189,5 +189,10 @@ class UpsampleBlock(nn.Module):
 
 
 def resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Bilinear resize (half-pixel centers == torch align_corners=False)."""
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="bilinear")
+    """Bilinear resize (half-pixel centers == torch align_corners=False).
+
+    Integer upscales (HRNet's 2/4/8x branch-fusion exchanges) route through
+    the phase-blend formulation instead of jax.image.resize's per-axis
+    dense-dot lowering — see :mod:`cdnet_tpu.ops.upsample`."""
+    from cdnet_tpu.ops.upsample import resize_bilinear_fast
+    return resize_bilinear_fast(x, h, w)

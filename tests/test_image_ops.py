@@ -142,3 +142,51 @@ class TestEDT:
         got = np.asarray(edt.edt_labels(lab))
         want = ndi.distance_transform_edt(lab == 1) + ndi.distance_transform_edt(lab == 2)
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestUpsamplePhaseBlend:
+    """ops/upsample phase-blend == jax.image.resize bilinear (the contract
+    HRNet's pretrained-trunk parity rests on — half-pixel centers, edge
+    clamp). Covers the scales HRNet's exchanges use (2/4/8), mixed per-axis
+    factors, odd sizes, and bf16."""
+
+    @pytest.mark.parametrize("sh,sw", [(2, 2), (4, 4), (8, 8), (2, 4),
+                                       (3, 3), (1, 2), (5, 2)])
+    def test_matches_jax_image_resize(self, sh, sw):
+        import jax
+        import jax.numpy as jnp
+        from cdnet_tpu.ops.upsample import upsample_bilinear_int
+
+        rng = np.random.RandomState(sh * 10 + sw)
+        x = jnp.asarray(rng.randn(2, 7, 5, 3).astype(np.float32))
+        got = upsample_bilinear_int(x, sh, sw)
+        want = jax.image.resize(x, (2, 7 * sh, 5 * sw, 3), method="bilinear")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_bf16_close(self):
+        import jax
+        import jax.numpy as jnp
+        from cdnet_tpu.ops.upsample import upsample_bilinear_int
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, 16, 16, 18).astype(np.float32),
+                        jnp.bfloat16)
+        got = upsample_bilinear_int(x, 2, 2).astype(jnp.float32)
+        want = jax.image.resize(x, (1, 32, 32, 18),
+                                method="bilinear").astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-2, rtol=3e-2)
+
+    def test_resize_bilinear_fast_fallback_and_identity(self):
+        import jax
+        import jax.numpy as jnp
+        from cdnet_tpu.ops.upsample import resize_bilinear_fast
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
+        assert resize_bilinear_fast(x, 8, 8) is x
+        got = resize_bilinear_fast(x, 12, 20)  # non-integer ratio -> fallback
+        want = jax.image.resize(x, (1, 12, 20, 2), method="bilinear")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
