@@ -30,10 +30,12 @@ This kernel restructures the conv to feed the MXU properly:
 Numerics: MXU accumulates in f32 (preferred_element_type); the result
 matches XLA's conv+BN+relu at bf16-rounding tolerance (tests pin it).
 
-Used by :class:`cdnet_tpu.models.layers.ConvBN` and the VGG backbone at
-inference on TPU for stride-1 SAME 3x3 convs with Cout in {16, 32, 64}
-(the DAM head ResidualUnits, model_unet_rev1.py:150-170, the decoder tail
-and the block-1 backbone conv); everything else keeps the XLA conv.
+Used by :class:`cdnet_tpu.models.layers.ConvBN` at inference on TPU for
+stride-1 SAME 3x3 convs with Cout in {16, 18} — the decoder tail
+(model_unet_rev1.py:150-170) and HRNet's branch-0/transition convs
+(seg_hrnet_rev1.py:292-325), the shapes where XLA's conv is lane-starved
+(measured A/B: experiments/PERF.md §5); everything else keeps the XLA
+conv, which wins at Cout >= 32.
 """
 from __future__ import annotations
 
@@ -260,10 +262,16 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
     # copy at all — boundary halos are zero-filled in-kernel; ragged sizes
     # pad up with zeros (still SAME semantics: the pad is past the slice).
     hp = -(-h // bh) * bh
-    ws = -(-w // s) * s
+    # t (the supertiled width, a SUBLANE dim inside the kernel) must be
+    # 8-aligned once it exceeds one native tile: the (bh, t, K) -> (bh*t, K)
+    # dot-operand collapse is a tpu.reshape Mosaic rejects at misaligned t
+    # (HRNet's S=7 -> t=147 was the "Mosaic reshape failure", PERF.md §5).
+    t = -(-w // s)
+    if t > 8:
+        t = -(-t // 8) * 8
+    ws = t * s
     if hp != h or ws != w:
         x = jnp.pad(x, ((0, 0), (0, hp - h), (0, ws - w), (0, 0)))
-    t = ws // s
     # column phase-merge is free in HBM: row-major (..., S*T, Cin) is
     # bit-identical to (..., T, S*Cin)
     xp2 = x.reshape(n, hp, t, s * cin)
@@ -367,14 +375,16 @@ def ensure_tpu_kernel_or_disable() -> bool:
         try:
             import numpy as np
             rng = np.random.RandomState(0)
-            # the routed geometries (policy: Cout=16 only): the decoder
-            # tail's 80->16 and 16->16 convs, plus the WIDE geometry
-            # (w=1024 -> t=128) whose VMEM working set and bh choice
-            # differ, and one lane-pad case (s*cin not a 128 multiple).
-            # A Mosaic regression in ANY of them must disable the kernel,
-            # not crash the first big pipeline compile that uses it.
+            # the routed geometries: the decoder tail's 80->16 and 16->16
+            # supertile convs, plus the WIDE geometry (w=1024 -> t=128)
+            # whose VMEM working set and bh choice differ, one lane-pad
+            # case (s*cin not a 128 multiple), and HRNet's 18->18 at both
+            # narrow and wide (S=7, S*Cout=126 lane-pad, 8-aligned-t)
+            # geometries. A Mosaic regression in ANY of them must disable
+            # the kernel, not crash the first big pipeline compile.
             for cin, cout, w in ((80, 16, 16), (16, 16, 16), (24, 16, 16),
-                                 (80, 16, 1024)):
+                                 (80, 16, 1024), (18, 18, 21),
+                                 (18, 18, 1024)):
                 x = jnp.asarray(rng.randn(1, 16, w, cin), jnp.bfloat16)
                 k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1,
                                 jnp.bfloat16)
@@ -516,14 +526,19 @@ def fused_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
     if MODE == "force":
         return shape_ok
     # Measured routing policy (experiments/conv_kernel_ab.py, v5e, in-jit
-    # floor-amortized; run-to-run variance ~5-10%, the 2026-08-19 run in
-    # experiments/PERF.md §5 is the table of record): the kernel wins only
-    # where XLA is lane-starved — Cout=16 (XLA ~9 TF/s vs pallas ~15,
-    # 1.6-1.7x across runs). At Cout=64 XLA's conv runs 65-68 TF/s and the
-    # kernel's (S+2)/S=2x MXU overhead loses (~0.65x); Cout=32 similarly
-    # loses (~0.7x). "force" keeps the full supported set so tests
-    # exercise every geometry.
-    if not (shape_ok and cout == 16 and jax.default_backend() == "tpu"):
+    # floor-amortized; run-to-run variance ~5-10%, the 2026-08-19 runs in
+    # experiments/PERF.md §5 are the table of record): the kernel wins
+    # where XLA is badly lane-starved — Cout=16 (XLA ~9 TF/s vs pallas
+    # ~13-15, 1.56-1.66x) and HRNet's Cout=18 @ S=7 (XLA 2.4 TF/s vs 4.8,
+    # 1.96x; unlocked by the 8-aligned-t fix). Cout=32/36 (~0.6-0.9x) and
+    # Cout=64 lose: the width-S supertile's (S+2)/S = 2x MXU overhead at
+    # S=2 measured 0.67x, and a column-pair variant (N=2*Cout=128 lanes,
+    # only 12/9 executed MACs) still measured 0.74x — both it and XLA's
+    # conv plateau at ~60 TF/s raw on this layout, so the 1.33x MAC
+    # overhead can't be bought back; the variant was removed. "force"
+    # keeps the full supported set so tests exercise every geometry.
+    if not (shape_ok and cout in (16, 18)
+            and jax.default_backend() == "tpu"):
         return False
     if _TPU_SMOKE is None:
         # the smoke runs the kernel eagerly — skip the decision inside a
