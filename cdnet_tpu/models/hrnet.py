@@ -142,31 +142,47 @@ class HRNet18DAM(nn.Module):
     dtype: object = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stop_at: str | None = None):
+        # ``stop_at``: truncate the forward after a named checkpoint and
+        # return the intermediate — used by the stage-bisection perf harness
+        # (experiments/hrnet_bisect.py); flax.apply tolerates the unused
+        # parameter subtrees, so the full trained variables dict works.
         x = x.astype(self.dtype)
         # stem (stride 1 — full resolution; seg_hrnet_rev1.py:331-337)
         x = ConvBN(64, dtype=self.dtype, name="stem1")(x, train)
         x = ConvBN(64, dtype=self.dtype, name="stem2")(x, train)
+        if stop_at == "stem":
+            return x
         # stage 1: bottleneck x2 -> 256ch
         for b in range(2):
             x = Bottleneck(64, dtype=self.dtype, name=f"layer1_{b}")(x, train)
+        if stop_at == "stage1":
+            return x
 
         chs2, chs3, chs4 = (18, 36), (18, 36, 72), (18, 36, 72, 144)
         xs = _Transition((256,), chs2, dtype=self.dtype, name="transition1")([x], train)
         xs = HRModule(chs2, dtype=self.dtype, name="stage2_m0")(xs, train)
+        if stop_at == "stage2":
+            return xs
 
         xs = _Transition(chs2, chs3, dtype=self.dtype, name="transition2")(xs, train)
         for m in range(3):
             xs = HRModule(chs3, dtype=self.dtype, name=f"stage3_m{m}")(xs, train)
+        if stop_at == "stage3":
+            return xs
 
         xs = _Transition(chs3, chs4, dtype=self.dtype, name="transition3")(xs, train)
         for m in range(2):
             xs = HRModule(chs4, dtype=self.dtype, name=f"stage4_m{m}")(xs, train)
+        if stop_at == "stage4":
+            return xs
 
         # upsample + concat all branches (seg_hrnet_rev1.py:527-533)
         h, w = xs[0].shape[1], xs[0].shape[2]
         cat = jnp.concatenate(
             [xs[0]] + [resize_bilinear(t, h, w) for t in xs[1:]], axis=-1)
+        if stop_at == "cat":
+            return cat
         if not self.with_dam:
             x = ConvBN(cat.shape[-1], kernel=(1, 1), dtype=self.dtype,
                        name="last_layer")(cat, train)
