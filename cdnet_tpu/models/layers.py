@@ -25,10 +25,11 @@ Dtype = Any
 class ConvBN(nn.Module):
     """Conv -> BatchNorm -> (optional) activation; the XLA-fused workhorse.
 
-    At inference on TPU, stride-1 SAME 3x3 convs with 64 output channels
+    At inference on TPU, stride-1 SAME 3x3 convs with 16/18 output channels
     route through the fused Pallas supertile kernel
-    (:mod:`cdnet_tpu.ops.pallas_conv`): XLA runs such convs at ~1/4 MXU
-    occupancy, and they dominate the DAM head (experiments/PERF.md §3).
+    (:mod:`cdnet_tpu.ops.pallas_conv`): XLA runs such lane-starved convs at
+    2-9 TF/s (measured A/B, experiments/PERF.md §5) — the decoder tail and
+    HRNet's branch-0 shapes.
     The BN affine and ReLU fold into the kernel's f32 epilogue, so the
     whole block is one HBM round-trip. Training and all other shapes keep
     the XLA path (same parameters either way — checkpoint layout is
@@ -171,8 +172,8 @@ class UpsampleBlock(nn.Module):
                             name="BatchNorm_0")
         if pallas_conv.phase_convt_applicable(train=train):
             # convT(4,4,s2)+BN+ReLU == phase-decomposed 3x3 XLA conv +
-            # folded affine + depth-to-space (6.1x over XLA's native
-            # conv_transpose at the up5 shape — see phase_convt_applicable)
+            # folded affine + depth-to-space (2-4x over XLA's native
+            # conv_transpose at the up5 shape — PERF.md §5)
             x = pallas_conv.route_fused_convt(self, convt, norm, x,
                                               features=self.features)
         else:
