@@ -306,6 +306,13 @@ def ensure_tpu_kernel_or_disable() -> bool:
                         f"kernel/XLA fixpoint mismatch at {h}x{w}")
             _TPU_SMOKE = True
         except Exception as e:
+            from cdnet_tpu.ops.pallas_gate import backend_alive
+            if not backend_alive():
+                # the BACKEND is down, not the kernel: every program fails.
+                # Leave the smoke undecided (a later call retries) and
+                # surface the outage instead of silently degrading.
+                _TPU_SMOKE = None
+                raise
             import warnings
             warnings.warn(f"pallas CC fixpoint disabled: "
                           f"{type(e).__name__}: {e}; using XLA scans")

@@ -402,6 +402,13 @@ def ensure_tpu_kernel_or_disable() -> bool:
                                      f"(cout={cout}): max_err={err}")
             _TPU_SMOKE = True
         except Exception as e:  # Mosaic compile/runtime/numerics failure
+            from cdnet_tpu.ops.pallas_gate import backend_alive
+            if not backend_alive():
+                # the BACKEND is down, not the kernel: every program fails.
+                # Leave the smoke undecided (a later call retries) and
+                # surface the outage instead of silently degrading.
+                _TPU_SMOKE = None
+                raise
             import warnings
             warnings.warn(f"pallas fused conv disabled: {type(e).__name__}: "
                           f"{e}; falling back to XLA convs")

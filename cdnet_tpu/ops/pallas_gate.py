@@ -12,6 +12,23 @@ from __future__ import annotations
 _SCOPED_OFF: list[bool] = []
 
 
+def backend_alive() -> bool:
+    """Whether a PLAIN XLA program runs on the default backend right now.
+
+    The kernel smokes (`ensure_tpu_kernel_or_disable`) must distinguish "the
+    Pallas kernel regressed" (degrade to XLA, keep going) from "the TPU
+    backend/tunnel is down" (EVERY program fails — observed as
+    FAILED_PRECONDITION storms when the axon remote restarts). Disabling the
+    kernels on the latter would silently record a no-pallas benchmark run;
+    instead the smoke re-raises so the caller sees the real outage."""
+    import jax
+    import jax.numpy as jnp
+    try:
+        return bool(jax.jit(jnp.sum)(jnp.ones((8,), jnp.float32)) == 8.0)
+    except Exception:  # noqa: BLE001 — any failure means "down"
+        return False
+
+
 def scoped_off() -> bool:
     """True while inside a scoped_disable(True) block (trace time)."""
     return bool(_SCOPED_OFF)

@@ -205,6 +205,34 @@ class TestFusedConv:
         finally:
             pallas_conv.MODE = old
 
+    def test_smoke_distinguishes_backend_outage(self, monkeypatch):
+        """A smoke failure with a DEAD backend must re-raise (tunnel outage)
+        and leave the decision undecided for a retry; with a LIVE backend it
+        must degrade to XLA convs (a genuine kernel regression)."""
+        from cdnet_tpu.ops import pallas_conv
+
+        monkeypatch.setattr(pallas_conv, "MODE", "auto")
+        monkeypatch.setattr(pallas_conv, "_TPU_SMOKE", None)
+        monkeypatch.setattr(pallas_conv.jax, "default_backend",
+                            lambda: "tpu")
+        boom = RuntimeError("FAILED_PRECONDITION: TPU backend error")
+
+        def raising(*a, **k):
+            raise boom
+
+        monkeypatch.setattr(pallas_conv, "conv3x3_affine_act", raising)
+        import cdnet_tpu.ops.pallas_gate as gate
+        monkeypatch.setattr(gate, "backend_alive", lambda: False)
+        with pytest.raises(RuntimeError, match="FAILED_PRECONDITION"):
+            pallas_conv.ensure_tpu_kernel_or_disable()
+        assert pallas_conv._TPU_SMOKE is None     # retryable
+        assert pallas_conv.MODE == "auto"
+
+        monkeypatch.setattr(gate, "backend_alive", lambda: True)
+        with pytest.warns(UserWarning, match="disabled"):
+            assert pallas_conv.ensure_tpu_kernel_or_disable() is False
+        assert pallas_conv.MODE == "off"
+
     @pytest.mark.slow
     def test_full_pipeline_forced_fused(self):
         """build_pipeline with the kernel forced on == pure-XLA pipeline at
