@@ -51,6 +51,9 @@ def test_driver_passes_real_steps_per_epoch(tmp_path, monkeypatch):
         return real(cfg, steps_per_epoch)
 
     monkeypatch.setattr(T, "get_optimizer", spy)
+    # the driver appends experiments/logExl_<dataset>.csv relative to cwd
+    # (reference train.py:106-173 semantics) — keep it out of the repo tree
+    monkeypatch.chdir(tmp_path)
     T.main(_args(tmp_path))
     assert seen["steps_per_epoch"] == 16 // 8
 
@@ -72,6 +75,7 @@ def test_validation_evaluates_held_out_tiles(tmp_path, monkeypatch):
         return wrapped
 
     monkeypatch.setattr(T, "make_sliding_eval_step", wrap_make)
+    monkeypatch.chdir(tmp_path)  # logExl CSV goes under tmp, not the repo
     T.main(_args(tmp_path, ["--validation", "1",
                             "--scheduler", "ReduceLROnPlateau"]))
     assert eval_images, "validation=1 never ran the eval step"
