@@ -263,12 +263,12 @@ def _conv_impl(x, kernel, scale, offset, relu: bool, interpret: bool,
     # pad up with zeros (still SAME semantics: the pad is past the slice).
     hp = -(-h // bh) * bh
     # t (the supertiled width, a SUBLANE dim inside the kernel) must be
-    # 8-aligned once it exceeds one native tile: the (bh, t, K) -> (bh*t, K)
-    # dot-operand collapse is a tpu.reshape Mosaic rejects at misaligned t
-    # (HRNet's S=7 -> t=147 was the "Mosaic reshape failure", PERF.md §5).
-    t = -(-w // s)
-    if t > 8:
-        t = -(-t // 8) * 8
+    # 8-aligned: the (bh, t, K) -> (bh*t, K) dot-operand collapse is a
+    # tpu.reshape Mosaic rejects at misaligned t with non-128 lane counts
+    # (HRNet's S=7 -> t=147 at W=1024 and t=3 at W=21 both failed; t=152/8
+    # compile — the "Mosaic reshape failure" of PERF.md §5). <=3.4% padded
+    # columns at production widths.
+    t = -(-(-(-w // s)) // 8) * 8
     ws = t * s
     if hp != h or ws != w:
         x = jnp.pad(x, ((0, 0), (0, hp - h), (0, ws - w), (0, 0)))
