@@ -353,6 +353,40 @@ def bench_hrnet(img):
         return {"hrnet_tiles_per_sec": 0.0}
 
 
+def bench_mesh1_tpu(model, variables, cfg, img, n_tiles: int = 2):
+    """Sharded-program overhead on the REAL chip (VERDICT r3 #6 tail): the
+    same batched pipeline built over a 1-device TPU mesh (the sharded
+    program XLA compiles for --use-mesh) vs the plain vmap build. On one
+    chip the two must run at the same rate — any gap is partitioning
+    overhead, which this leg makes visible."""
+    import jax
+    import jax.numpy as jnp
+    from cdnet_tpu.infer import build_pipeline
+    from cdnet_tpu.parallel import make_mesh
+
+    try:
+        mesh = make_mesh(devices=jax.devices()[:1])
+        mpipe = build_pipeline(model, variables, cfg, img.shape[:2],
+                               mesh=mesh, batch_tiles=n_tiles)
+        imgs = jnp.stack([img] * n_tiles)
+        t0 = time.time()
+        n = int(jax.device_get(jnp.max(mpipe(imgs)["instances"])))
+        print(f"[mesh1] compile+first: {time.time() - t0:.1f}s "
+              f"instances={n}", file=sys.stderr)
+        assert n > 0
+        iters = 4
+        t0 = time.time()
+        maxes = [jnp.max(mpipe(imgs)["instances"]) for _ in range(iters)]
+        counts = [int(jax.device_get(m)) for m in maxes]
+        tps = n_tiles * iters / (time.time() - t0)
+        assert all(c > 0 for c in counts)
+        print(f"[mesh1] pipelined={tps:.3f} tiles/s", file=sys.stderr)
+        return {f"cc_mesh1_batch{n_tiles}_tiles_per_sec": round(tps, 4)}
+    except Exception as e:  # noqa: BLE001 — report, don't sink the bench
+        print(f"[mesh1] skipped: {type(e).__name__}: {e}", file=sys.stderr)
+        return {}
+
+
 def mesh_scaling_subprocess():
     """1-vs-8 virtual-CPU-mesh sanity number for the --use-mesh path
     (VERDICT r2 item 9): the sharded program must run and agree. Executed in
@@ -529,6 +563,8 @@ def main():
     # whole-slide throughput: batch_tiles scaling curve {2,4,8}
     extra.update(bench_batch_sweep(model, variables, cfg, img))
 
+    if not over_budget("mesh1"):
+        extra.update(bench_mesh1_tpu(model, variables, cfg, img))
     if not over_budget("hrnet"):
         extra.update(bench_hrnet(img))
     if not over_budget("mesh8"):
