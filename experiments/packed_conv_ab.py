@@ -66,8 +66,10 @@ def main():
 
     # (label, B, H, W, cin, cout, s list)
     cases = [
-        ("hr18 1024^2 18->18", 8, 1024, 1024, 18, 18, (4, 7, 8)),
-        ("tr1 1024^2 256->18", 8, 1024, 1024, 256, 18, (7,)),
+        ("hr18 1024^2 18->18", 8, 1024, 1024, 18, 18, (2, 4)),
+        # tr1 256->18: packing multiplies cin-side MACs by s too — native
+        # XLA (21.3 TF/s, K=256 already dense) is unbeatable there; a
+        # packed attempt also OOM'd 16G HBM at the 1792-ch intermediate.
         ("hr36 512^2 36->36", 8, 512, 512, 36, 36, (3, 4)),
         ("dec16 1024^2 80->16", 8, 1024, 1024, 80, 16, (8,)),
         ("dam64 1024^2 64->64", 8, 1024, 1024, 64, 64, (2,)),
@@ -93,10 +95,12 @@ def main():
                 return y.reshape(b, h, wp, cout)[:, :, :w]
 
             t_p = timed(packed, x, kp)
-            # numerics check once per (case, s)
-            ref = np.asarray(conv(x, kb), np.float32)
-            got = np.asarray(packed(x, kp), np.float32)
-            err = float(np.max(np.abs(ref - got)))
+            # numerics check once per (case, s) — in-jit (eager calls
+            # through the tunnel recompile per call, PERF.md §5b) and
+            # reduced on device (full f32 maps would OOM the big cases)
+            err = float(jax.jit(lambda x, kb, kp: jnp.max(jnp.abs(
+                conv(x, kb).astype(jnp.float32)
+                - packed(x, kp).astype(jnp.float32))))(x, kb, kp))
             print(f"{'':24s} s={s:<2d}   {t_p*1e3:8.2f} ms "
                   f"({tflop/t_p:6.1f} TF/s eff)  x{t_xla/t_p:4.2f}  "
                   f"max_err={err:.3g}", flush=True)
