@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cdnet_tpu.ops import pallas_conv
+from cdnet_tpu.ops import packed_conv, pallas_conv
 
 Dtype = Any
 
@@ -55,6 +55,16 @@ class ConvBN(nn.Module):
                             momentum=self.bn_momentum, dtype=self.dtype,
                             param_dtype=jnp.float32,
                             name="BatchNorm_0") if self.bn else None
+        if (packed_conv.packed_conv_applicable(
+                train=train, kernel=self.kernel, strides=self.strides,
+                dilation=self.dilation, padding=self.padding,
+                cout=self.features, dtype=self.dtype)
+                and self.act in (nn.relu, None)):
+            # width-packed XLA conv: beats both XLA-native and the Pallas
+            # supertile kernel at HRNet's Cout=18 (packed_conv docstring)
+            return packed_conv.route_packed(
+                self, conv, norm, x, features=self.features,
+                use_bias=self.use_bias, relu=self.act is nn.relu)
         if (pallas_conv.fused_conv_applicable(
                 train=train, kernel=self.kernel, strides=self.strides,
                 dilation=self.dilation, padding=self.padding,

@@ -353,3 +353,116 @@ class TestFixpointKernel:
         np.testing.assert_array_equal(np.asarray(lab_ref),
                                       np.asarray(lab_got))
         assert int(n_ref) == int(n_got)
+
+
+class TestPackedConv:
+    """Width-packed dense conv (ops/packed_conv.py; ConvBN routes HRNet's
+    Cout=18 convs through it at inference — beats XLA-native 1.60x and the
+    supertile kernel 1.52x at hr18, experiments/packed_conv_ab.py)."""
+
+    @pytest.mark.parametrize("shape,cin,cout,s,relu", [
+        ((2, 16, 24), 18, 18, 4, True),    # HRNet branch-0, W % s == 0
+        ((1, 8, 21), 18, 18, 4, False),    # W % s != 0 (pad/slice), no act
+        ((2, 13, 9), 18, 18, 4, True),     # odd H and W
+        ((1, 8, 10), 6, 4, 2, True),       # generic small case, s=2
+        ((2, 9, 22), 10, 18, 7, True),     # s=7, cin != cout
+    ])
+    def test_matches_xla_conv(self, shape, cin, cout, s, relu):
+        """f32 packed conv == XLA conv + affine (+relu) to float rounding:
+        the packing is an exact re-layout, not an approximation."""
+        from cdnet_tpu.ops.packed_conv import packed_conv3x3_affine_act
+        rng = np.random.RandomState(cout + s)
+        b, h, w = shape
+        x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+        scale = jnp.asarray(rng.rand(cout) + 0.5, jnp.float32)
+        offset = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+        got = packed_conv3x3_affine_act(x, k, scale, offset, relu=relu, s=s)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32) * scale + offset
+        if relu:
+            ref = jnp.maximum(ref, 0.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_convbn_packed_path_matches_xla(self):
+        """ConvBN(18) with packing forced == the XLA path at bf16 tolerance,
+        identical parameter tree (checkpoint layout unchanged)."""
+        from cdnet_tpu.models.layers import ConvBN
+        from cdnet_tpu.ops import packed_conv
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.rand(2, 16, 22, 18), jnp.float32)
+        m = ConvBN(18, dtype=jnp.bfloat16)
+        v = m.init(jax.random.PRNGKey(0), x)
+        v = dict(v)
+        v["batch_stats"] = {"BatchNorm_0": {
+            "mean": jnp.asarray(rng.randn(18) * 0.1, jnp.float32),
+            "var": jnp.asarray(rng.rand(18) + 0.5, jnp.float32)}}
+        v["params"] = dict(v["params"])
+        v["params"]["BatchNorm_0"] = {
+            "scale": jnp.asarray(rng.rand(18) + 0.5, jnp.float32),
+            "bias": jnp.asarray(rng.randn(18) * 0.1, jnp.float32)}
+        old = packed_conv.MODE
+        try:
+            packed_conv.MODE = "off"
+            ref = m.apply(v, x).astype(jnp.float32)
+            packed_conv.MODE = "force"
+            got = m.apply(v, x).astype(jnp.float32)
+        finally:
+            packed_conv.MODE = old
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=0.05)
+
+    def test_applicability_policy(self):
+        from cdnet_tpu.ops import packed_conv
+        kw = dict(kernel=(3, 3), strides=(1, 1), dilation=(1, 1),
+                  padding="SAME", cout=18, dtype=jnp.bfloat16)
+        # train path never packs (BN batch-stats can't fold)
+        old = packed_conv.MODE
+        try:
+            packed_conv.MODE = "force"
+            assert packed_conv.packed_conv_applicable(train=False, **kw)
+            assert not packed_conv.packed_conv_applicable(train=True, **kw)
+            # only the measured-win Cout set packs
+            assert not packed_conv.packed_conv_applicable(
+                train=False, **{**kw, "cout": 16})
+            assert not packed_conv.packed_conv_applicable(
+                train=False, **{**kw, "strides": (2, 2)})
+            packed_conv.MODE = "off"
+            assert not packed_conv.packed_conv_applicable(train=False, **kw)
+            # auto mode on CPU: native XLA (packing only measured on TPU)
+            packed_conv.MODE = "auto"
+            if jax.default_backend() != "tpu":
+                assert not packed_conv.packed_conv_applicable(
+                    train=False, **kw)
+        finally:
+            packed_conv.MODE = old
+
+    def test_hrnet_forced_packed_matches_xla(self):
+        """HRNet18 (bf16) with every eligible conv packed agrees with the
+        pure-XLA program on all 3 heads (the production routing for the
+        paper flagship, seg_hrnet_rev1.py:289-568)."""
+        from cdnet_tpu.config import Config
+        from cdnet_tpu.models import choose_model
+        from cdnet_tpu.ops import packed_conv
+        cfg = Config()
+        cfg.model.model_name = "HRNet18_rev1"
+        model = choose_model(cfg)
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x)
+        old = packed_conv.MODE
+        try:
+            packed_conv.MODE = "off"
+            ref = model.apply(v, x)
+            packed_conv.MODE = "force"
+            got = model.apply(v, x)
+        finally:
+            packed_conv.MODE = old
+        for key in ref:
+            np.testing.assert_allclose(
+                np.asarray(got[key], np.float32),
+                np.asarray(ref[key], np.float32), atol=0.1,
+                err_msg=f"head {key}")
