@@ -484,15 +484,19 @@ def bench_batch_sweep(model, variables, cfg, img, sizes=(2, 4, 8)):
 def main():
     import jax
     # persistent compile cache: the full pipeline takes minutes to compile
-    # cold; repeat runs (the driver) hit the cache
-    jax.config.update("jax_compilation_cache_dir", "/tmp/cdnet_jax_cache")
+    # cold; repeat runs (the driver) hit the cache. The cache lives IN the
+    # repo (and is committed) so a fresh driver checkout starts warm —
+    # /tmp does not survive across driver runs (VERDICT r4 #1).
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "experiments", "jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
     from cdnet_tpu.config import Config
     from cdnet_tpu.data.synthetic import synthetic_tile
     from cdnet_tpu.infer import build_pipeline
     from cdnet_tpu.models import choose_model
-    from cdnet_tpu.ops import pallas_cc, pallas_conv
+    from cdnet_tpu.ops import packed_conv, pallas_cc, pallas_conv
 
     cfg = Config()
     cfg.test.tta = True
@@ -529,16 +533,39 @@ def main():
         "cc_serialized_tiles_per_sec": round(cc_ser, 4),
         "instances": n_inst,
         "dispatch_floor_ms": round(floor_s * 1e3, 1),
-        # whether the Pallas kernels were active for the numbers above
-        # ("force" mode counts as active)
+        # whether the Pallas/packed kernels were active for the numbers
+        # above ("force" mode counts as active)
         "pallas_conv": pallas_conv.is_active(),
         "pallas_cc": pallas_cc.is_active(),
+        "packed_conv": packed_conv.is_active(),
     }
     print(json.dumps(headline), flush=True)
 
+    # Optional legs, ordered by evidence value (VERDICT r4 #1: three rounds
+    # of implemented-but-unrecorded legs because the watershed leg's 190 s
+    # cold compile ran first and the driver wall killed everything after
+    # it). The cumulative extended JSON prints after EVERY leg so a mid-leg
+    # kill keeps all completed results — the driver parses the LAST line.
     extra = {}
 
-    # postproc=1 -> marker watershed (postproc_other.py:15-99)
+    def emit():
+        print(json.dumps({**headline, **extra}), flush=True)
+
+    # 1. whole-slide throughput: batch_tiles scaling curve {2,4,8}
+    extra.update(bench_batch_sweep(model, variables, cfg, img))
+    emit()
+
+    # 2. HRNet paper-flagship row
+    if not over_budget("hrnet"):
+        extra.update(bench_hrnet(img))
+        emit()
+
+    # 3. sharded-program overhead on the real chip
+    if not over_budget("mesh1"):
+        extra.update(bench_mesh1_tpu(model, variables, cfg, img))
+        emit()
+
+    # 4. postproc=1 -> marker watershed (postproc_other.py:15-99)
     if not over_budget("watershed"):
         try:
             cfg.post.postproc = 1
@@ -550,7 +577,9 @@ def main():
             print(f"[watershed] skipped: {type(e).__name__}: {e}",
                   file=sys.stderr)
         cfg.post.postproc = 0
+        emit()
 
+    # 5. per-stage ledger
     if not over_budget("stages"):
         try:
             extra["stage_ms"] = stage_timings(model, variables, cfg, img,
@@ -559,18 +588,12 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"[stages] skipped: {type(e).__name__}: {e}",
                   file=sys.stderr)
+        emit()
 
-    # whole-slide throughput: batch_tiles scaling curve {2,4,8}
-    extra.update(bench_batch_sweep(model, variables, cfg, img))
-
-    if not over_budget("mesh1"):
-        extra.update(bench_mesh1_tpu(model, variables, cfg, img))
-    if not over_budget("hrnet"):
-        extra.update(bench_hrnet(img))
+    # 6. virtual-CPU mesh sanity (subprocess)
     if not over_budget("mesh8"):
         extra.update(mesh_scaling_subprocess())
-
-    print(json.dumps({**headline, **extra}), flush=True)
+        emit()
 
 
 if __name__ == "__main__":

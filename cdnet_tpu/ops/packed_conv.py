@@ -104,10 +104,15 @@ def pack_factor(cout: int) -> int:
 
 
 def is_active() -> bool:
-    """Bench JSON honesty: whether eligible convs would pack right now."""
+    """Bench JSON honesty: whether eligible convs would pack right now.
+
+    Mirrors the applicability gate, including ``scoped_off()`` — inside a
+    scoped_disable (multi-device mesh trace) eligible convs fall back to
+    native XLA, so is_active must report False there too (ADVICE r4)."""
     if MODE == "force":
         return True
-    return MODE == "auto" and jax.default_backend() == "tpu"
+    return (MODE == "auto" and not scoped_off()
+            and jax.default_backend() == "tpu")
 
 
 def route_packed(parent, conv, norm, x, *, features: int, use_bias: bool,

@@ -46,7 +46,7 @@ def packed_kernel(kernel: np.ndarray, s: int) -> np.ndarray:
 def main():
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir", "/tmp/cdnet_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "experiments", "jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     def conv(x, k):
