@@ -660,9 +660,11 @@ class TestFullPipelineMigrationParity:
         """Train the reference flagship (model_unet_rev1.Unet) for a few
         steps on synthetic tiles so the pipeline carries a non-trivial
         instancing load (a random-init model segments nothing and the
-        parity would be vacuous). Mask CE + point MSE only — the direction
-        head stays at init; its softmax/argmax/DDM output is still
-        exercised (same weights both sides, so parity is meaningful)."""
+        parity would be vacuous). Mask CE + direction-class CE + point MSE
+        (VERDICT r4 #6: with the direction head at init, the DDM-fusion
+        branch, test_dam.py:455-498, was parity-checked on a near-random
+        direction field; the centripetal targets below give it trained
+        structure so the round-trip exercises real DDM/enhancement maps)."""
         import scipy.ndimage as ndi
 
         tm = TestFullCheckpointMigration._reference_model(self)
@@ -677,17 +679,35 @@ class TestFullPipelineMigrationParity:
             t3 = np.where(inside, 1, np.where(fg, 2, 0))
             edt = ndi.distance_transform_edt(fg)
             pt = 255.0 * edt / max(edt.max(), 1e-6)
-            return t3.astype(np.int64), pt.astype(np.float32)
+            # centripetal 8-class direction target (bg=0): quantized angle
+            # of the vector from each foreground pixel to its instance
+            # centroid — the same label structure LabelEncoding synthesizes
+            # (my_transforms_direction.py:800-855), built here with plain
+            # numpy (the parity contract only needs the SAME weights on
+            # both sides; the targets just have to carry real centripetal
+            # geometry for the DDM to be non-trivial)
+            yy, xx = np.mgrid[:inst.shape[0], :inst.shape[1]]
+            dcls = np.zeros(inst.shape, np.int64)
+            for iid in np.unique(inst):
+                if iid == 0:
+                    continue
+                m = inst == iid
+                cy, cx = yy[m].mean(), xx[m].mean()
+                ang = np.degrees(np.arctan2(cy - yy[m], cx - xx[m])) % 360.0
+                dcls[m] = (np.floor(((ang + 22.5) % 360.0) / 45.0)
+                           .astype(np.int64) + 1)
+            return t3.astype(np.int64), pt.astype(np.float32), dcls
 
         ce = torch.nn.CrossEntropyLoss()
         mse = torch.nn.MSELoss()
-        for step in range(50):
+        for step in range(60):
             sel = rng.randint(0, len(tiles), 2)
             xs = np.stack([tiles[i][0] for i in sel]).astype(np.float32) / 255.0
-            t3s, pts = zip(*(targets(tiles[i][1]) for i in sel))
+            t3s, pts, dcs = zip(*(targets(tiles[i][1]) for i in sel))
             x = torch.from_numpy(np.transpose(xs, (0, 3, 1, 2)))
-            mask, point, _ = tm(x)
+            mask, point, direction = tm(x)
             loss = ce(mask, torch.from_numpy(np.stack(t3s))) + \
+                ce(direction, torch.from_numpy(np.stack(dcs))) + \
                 1e-4 * mse(point[:, 0], torch.from_numpy(np.stack(pts)))
             opt.zero_grad()
             loss.backward()
@@ -803,6 +823,10 @@ class TestFullPipelineMigrationParity:
         assert ref["instances"].max() >= 3, (
             "reference pipeline found too few instances — the briefly "
             "trained checkpoint no longer segments; parity would be vacuous")
+        # the direction head must carry TRAINED centripetal structure
+        # (VERDICT r4 #6): a non-flat DDM proves the fusion branch is
+        # exercised on real direction-difference geometry, not init noise
+        assert (ref["ddm"] > 0.1).mean() > 0.001, "DDM is flat"
 
         # migrate the torch weights and run OUR whole-image pipeline
         cfg = Config()
