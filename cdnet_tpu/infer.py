@@ -112,7 +112,12 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
     else:
         variables = jax.device_put(variables)
-    model_fn = make_model_fn(model, mesh)
+    # >1-device mesh with a tile batch -> tile-sharded shard_map mode (each
+    # device runs the whole per-tile body locally; no sharding constraints
+    # and no kernel disabling inside the body)
+    mesh_multi = mesh is not None and getattr(mesh, "size", 1) > 1
+    tile_sharded = mesh_multi and batch_tiles > 1
+    model_fn = make_model_fn(model, None if tile_sharded else mesh)
     use_tta = cfg.test.tta
     if use_tta and image_hw[0] != image_hw[1]:
         # T.expand mixes rot90 views with flips in one stacked tensor, which
@@ -136,12 +141,12 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
         return {k: jnp.stack([o[k] for o in outs], axis=-3) for k in outs[0]}
 
     # disable EVERY pallas kernel (conv, DDM, CC fixpoint) inside a
-    # >1-device mesh trace — pallas_call has no SPMD partitioning rule
-    mesh_multi = mesh is not None and getattr(mesh, "size", 1) > 1
-
+    # >1-device GLOBAL-view mesh trace — pallas_call has no SPMD
+    # partitioning rule (the tile-sharded shard_map mode below does NOT
+    # need this: its body traces per-device local shapes)
     def _body(v_vars, image):
         from cdnet_tpu.ops.pallas_gate import scoped_disable as _sd
-        with _sd(mesh_multi):
+        with _sd(mesh_multi and not tile_sharded):
             return _body_inner(v_vars, image)
 
     def _body_inner(v_vars, image):
@@ -182,7 +187,26 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
         res["pred2"] = pred2
         return res
 
-    if batch_tiles > 1:
+    if mesh_multi and batch_tiles > 1:
+        # tile-sharded serving (VERDICT r4 #8): whole tiles are independent,
+        # so shard the tile batch over the mesh with shard_map — inside the
+        # per-device body every array is device-local, pallas_call traces
+        # local shapes, and NO kernel has to be disabled (the scoped_disable
+        # guard exists only for kernels inside a >1-device GLOBAL-view
+        # trace, where pallas_call has no SPMD partitioning rule). Each chip
+        # runs the full fused pipeline — Pallas CC included — on its own
+        # tiles; there is no cross-device communication at all.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        if batch_tiles % mesh.size != 0:
+            raise ValueError(
+                f"batch_tiles={batch_tiles} must divide evenly over the "
+                f"{mesh.size}-device mesh for tile-sharded inference")
+        local_body = jax.vmap(_body_inner, in_axes=(None, 0))
+        _pipeline = jax.jit(shard_map(
+            local_body, mesh=mesh, in_specs=(P(), P("data")),
+            out_specs=P("data"), check_rep=False))
+    elif batch_tiles > 1:
         _pipeline = jax.jit(jax.vmap(_body, in_axes=(None, 0)))
     else:
         _pipeline = jax.jit(_body)

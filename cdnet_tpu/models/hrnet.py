@@ -177,7 +177,16 @@ class HRNet18DAM(nn.Module):
         if stop_at == "stage4":
             return xs
 
-        # upsample + concat all branches (seg_hrnet_rev1.py:527-533)
+        # upsample + concat all branches (seg_hrnet_rev1.py:527-533). The
+        # DAM inference path hands the BRANCH LIST to the head instead: its
+        # first ResidualUnit splits the 3x3 conv + 1x1 shortcut along Cin
+        # (conv is linear over the channel concat), so the 270-channel
+        # full-res concat — lane-padded to 384 on TPU — never materializes
+        # (PERF.md §7's `cat` stage). Exact same math, identical params.
+        if self.with_dam and not train and stop_at is None:
+            return DAMHead(out_c=self.out_c,
+                           direction_classes=self.direction_classes,
+                           dtype=self.dtype, name="dam")(list(xs), train)
         h, w = xs[0].shape[1], xs[0].shape[2]
         cat = jnp.concatenate(
             [xs[0]] + [resize_bilinear(t, h, w) for t in xs[1:]], axis=-1)

@@ -73,6 +73,11 @@ class ConvBN(nn.Module):
             return pallas_conv.route_fused(
                 self, conv, norm, x, features=self.features,
                 use_bias=self.use_bias, relu=self.act is nn.relu)
+        if norm is not None and not train:
+            return fold_conv_bn(self, conv, norm, x, features=self.features,
+                                use_bias=self.use_bias, act=self.act,
+                                strides=self.strides, padding=self.padding,
+                                dilation=self.dilation, dtype=self.dtype)
         x = conv(x)
         if norm is not None:
             x = norm(x)
@@ -81,29 +86,161 @@ class ConvBN(nn.Module):
         return x
 
 
+def fold_conv_bn(parent, conv, norm, x, *, features, use_bias, act,
+                 strides=(1, 1), padding="SAME", dilation=(1, 1),
+                 dtype=jnp.bfloat16, conv_name="Conv_0",
+                 bn_name="BatchNorm_0"):
+    """Inference Conv+BN(+act) with the BN affine PRE-FOLDED into the conv
+    kernel: conv(x, k*scale) + offset.
+
+    XLA cannot do this fold itself (kernel and BN affine are both runtime
+    parameters, not constants), and the post-conv mul+add only partially
+    fuses — measured +1.71 ms per 64ch full-res ConvBN vs the bare conv on
+    v5e, of which pre-folding recovers 0.65 ms (experiments/dam_head_ab.py).
+    Binds the identical parameter tree via dead calls (same recipe as
+    pallas_conv.route_fused). Exact math up to bf16 kernel rounding."""
+    y = conv(x[:1, :1, :1, :])
+    norm(y)
+    p = parent.variables["params"]
+    scale, offset = pallas_conv.fold_affine(
+        features, p[conv_name]["bias"] if use_bias else None,
+        p[bn_name], parent.variables["batch_stats"][bn_name])
+    k = (p[conv_name]["kernel"].astype(jnp.float32) * scale).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), k, strides, padding, rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = (y + offset).astype(dtype)
+    return act(y) if act is not None else y
+
+
 class ResidualUnit(nn.Module):
-    """conv3x3-bn-relu-conv3x3-bn + 1x1 shortcut, relu (model_unet_rev1.py:150-170)."""
+    """conv3x3-bn-relu-conv3x3-bn + 1x1 shortcut, relu (model_unet_rev1.py:150-170).
+
+    ``x`` may also be a LIST of NHWC tensors at dyadically coarser
+    resolutions (HRNet's four branch outputs, seg_hrnet_rev1.py:527-533):
+    the unit then behaves exactly as if called on
+    ``concat([x0, up(x1), ..])`` but never materializes the concatenated
+    tensor — the 3x3 conv and the 1x1 shortcut are linear in the input, so
+    their kernels split along Cin into per-branch blocks whose partial
+    results are summed in f32. The 270-channel full-res concat is
+    lane-padded to 384 on TPU (a ~40% HBM tax on a 4.5 GB tensor at
+    8x1024^2) and its relayout dominated the r4 HRNet bisection's `cat`
+    stage (159 ms vs ~6 ms SOL, PERF.md §7); the split path avoids both
+    the pad and the concat round-trip. Inference only (BN uses running
+    stats); parameter tree is IDENTICAL to the dense path.
+    """
     features: int
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        residual = nn.Conv(self.features, (1, 1), use_bias=True,
-                           dtype=self.dtype, param_dtype=jnp.float32)(x)
-        out = ConvBN(self.features, dtype=self.dtype)(x, train)
-        out = ConvBN(self.features, act=None, dtype=self.dtype)(out, train)
+        shortcut = nn.Conv(self.features, (1, 1), use_bias=True,
+                           dtype=self.dtype, param_dtype=jnp.float32,
+                           name="Conv_0")
+        cbn1 = ConvBN(self.features, dtype=self.dtype, name="ConvBN_0")
+        cbn2 = ConvBN(self.features, act=None, dtype=self.dtype,
+                      name="ConvBN_1")
+        if isinstance(x, (list, tuple)) and not train:
+            ups = _upsampled_branches(x, self.dtype)
+            cin = sum(t.shape[-1] for t in ups)
+            # bind the identical param tree via dead 1x1-spatial calls
+            dummy = jnp.zeros((1, 1, 1, cin), self.dtype)
+            shortcut(dummy)
+            cbn1(dummy, train)
+            p = self.variables["params"]
+            bs = self.variables.get("batch_stats", {})
+            out = _split_conv3x3_bn_relu(
+                ups, p["ConvBN_0"]["Conv_0"]["kernel"],
+                p["ConvBN_0"]["BatchNorm_0"],
+                bs["ConvBN_0"]["BatchNorm_0"], self.dtype)
+            residual = _split_conv1x1(
+                ups, p["Conv_0"]["kernel"], p["Conv_0"]["bias"], self.dtype)
+        else:
+            if isinstance(x, (list, tuple)):  # train: dense fallback
+                x = _materialized_concat(x, self.dtype)
+            residual = shortcut(x)
+            out = cbn1(x, train)
+        out = cbn2(out, train)
         return nn.relu(out + residual)
 
 
+def _upsampled_branches(branches, dtype):
+    """Branches [x0, x1, ..] -> each bilinearly upsampled to x0's res.
+
+    Exactly the per-branch tensors whose concat HRNet's head consumes
+    (seg_hrnet_rev1.py:527-533) — kept separate so consumers can split
+    linear ops over them instead of materializing the concat."""
+    h, w = branches[0].shape[1], branches[0].shape[2]
+    return [branches[0].astype(dtype)] + [
+        resize_bilinear(t.astype(dtype), h, w) for t in branches[1:]]
+
+
+def _materialized_concat(branches, dtype):
+    return jnp.concatenate(_upsampled_branches(branches, dtype), axis=-1)
+
+
+def _channel_offsets(ups):
+    offs = [0]
+    for t in ups:
+        offs.append(offs[-1] + t.shape[-1])
+    return offs
+
+
+def _split_conv3x3_bn_relu(ups, kernel, bn_params, bn_stats, dtype):
+    """relu(BN(conv3x3(concat(ups), kernel))) without the concat: the conv
+    is linear in Cin, so kernel[:, :, lo:hi, :] blocks convolve each branch
+    and the f32 partials sum before the folded BN affine."""
+    offs = _channel_offsets(ups)
+    acc = None
+    for i, t in enumerate(ups):
+        ki = kernel[:, :, offs[i]:offs[i + 1], :].astype(dtype)
+        yi = jax.lax.conv_general_dilated(
+            t, ki, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        acc = yi if acc is None else acc + yi
+    scale, offset = pallas_conv.fold_affine(
+        kernel.shape[-1], None, bn_params, bn_stats)
+    return jnp.maximum(acc * scale + offset, 0.0).astype(dtype)
+
+
+def _split_conv1x1(ups, kernel, bias, dtype):
+    """conv1x1(concat(ups)) + bias as per-branch 1x1 convs summed in f32."""
+    offs = _channel_offsets(ups)
+    acc = None
+    for i, t in enumerate(ups):
+        ki = kernel[:, :, offs[i]:offs[i + 1], :].astype(dtype)
+        yi = jax.lax.conv_general_dilated(
+            t, ki, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        acc = yi if acc is None else acc + yi
+    return (acc + bias.astype(jnp.float32)).astype(dtype)
+
+
 class RevAttention(nn.Module):
-    """U * (1 + sigmoid(conv1x1(V))) gating (model_unet_rev1.py:8-17)."""
+    """U * (1 + sigmoid(conv1x1(V))) gating (model_unet_rev1.py:8-17).
+
+    ``return_gate=True`` returns only the per-pixel scalar gate
+    (1 + sigmoid(conv1x1(V))) — same parameters, no U read. The gate is a
+    SCALAR per pixel, so it commutes through any following 1x1 conv:
+    conv1x1(U * g) + b == g * conv1x1(U) + b == g * (conv1x1_b(U) - b) + b.
+    DAMHead uses this at inference to apply the gate on the 9/3-channel
+    projection OUTPUT instead of the 64-channel input (1.07 GB at
+    8x1024^2 bf16) — measured 1.17x on the gate+projection pair
+    (experiments/dam_head_ab.py), drift is bf16 rounding only."""
     dtype: Dtype = jnp.bfloat16
+    return_gate: bool = False
 
     @nn.compact
     def __call__(self, u, v):
         q = nn.Conv(1, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(v)
-        return u * (1.0 + jax.nn.sigmoid(q))
+        gate = 1.0 + jax.nn.sigmoid(q)
+        if self.return_gate:
+            return gate
+        return u * gate
 
 
 class DAMHead(nn.Module):
@@ -146,22 +283,49 @@ class DAMHead(nn.Module):
             x_point = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=f32,
                               name="point_conv")(x_f3).astype(f32)
             outputs["point"] = x_point
+        # At inference the revAttention gates commute through the 1x1
+        # projections (they are per-pixel scalars — see RevAttention):
+        # conv(U*g) + b == g*(conv_b(U) - b) + b, applied on the 9/3-channel
+        # OUTPUT instead of the 64-channel input. Train keeps the reference
+        # order (model_unet_rev1.py:259-263) so autodiff sees the same graph
+        # shape the torch parity oracles pin.
+        commute = not train
         if self.with_direction:
-            feat = x_f2
-            if self.use_attention and self.with_point:
-                feat = RevAttention(dtype=self.dtype, name="directionAtt")(
+            dir_conv = nn.Conv(self.direction_classes, (1, 1),
+                               dtype=self.dtype, param_dtype=f32,
+                               name="direction_conv")
+            gated = self.use_attention and self.with_point
+            if gated and commute:
+                g = RevAttention(dtype=self.dtype, name="directionAtt",
+                                 return_gate=True)(
                     x_f2, x_point.astype(self.dtype))
-            x_direction = nn.Conv(self.direction_classes, (1, 1),
-                                  dtype=self.dtype, param_dtype=f32,
-                                  name="direction_conv")(feat).astype(f32)
+                y = dir_conv(x_f2).astype(f32)
+                b = self.variables["params"]["direction_conv"]["bias"]
+                x_direction = g.astype(f32) * (y - b) + b
+            else:
+                feat = x_f2
+                if gated:
+                    feat = RevAttention(dtype=self.dtype,
+                                        name="directionAtt")(
+                        x_f2, x_point.astype(self.dtype))
+                x_direction = dir_conv(feat).astype(f32)
             outputs["direction"] = x_direction
-        feat1 = x_f1
-        if self.use_attention and self.with_direction:
-            feat1 = RevAttention(dtype=self.dtype, name="maskAtt")(
+        mask_conv = nn.Conv(self.out_c, (1, 1), dtype=self.dtype,
+                            param_dtype=f32, name="mask_conv")
+        gated1 = self.use_attention and self.with_direction
+        if gated1 and commute:
+            g1 = RevAttention(dtype=self.dtype, name="maskAtt",
+                              return_gate=True)(
                 x_f1, x_direction.astype(self.dtype))
-        outputs["mask"] = nn.Conv(self.out_c, (1, 1), dtype=self.dtype,
-                                  param_dtype=f32,
-                                  name="mask_conv")(feat1).astype(f32)
+            y1 = mask_conv(x_f1).astype(f32)
+            b1 = self.variables["params"]["mask_conv"]["bias"]
+            outputs["mask"] = g1.astype(f32) * (y1 - b1) + b1
+        else:
+            feat1 = x_f1
+            if gated1:
+                feat1 = RevAttention(dtype=self.dtype, name="maskAtt")(
+                    x_f1, x_direction.astype(self.dtype))
+            outputs["mask"] = mask_conv(feat1).astype(f32)
         return outputs
 
 

@@ -55,6 +55,14 @@ class VGG16Backbone(nn.Module):
                         self, conv, norm, x, features=ch, use_bias=True,
                         relu=True, conv_name=f"conv_{idx}",
                         bn_name=f"bn_{idx + 1}")
+                elif not train:
+                    # BN affine pre-folded into the conv kernel (see
+                    # layers.fold_conv_bn: XLA can't fold runtime params)
+                    from cdnet_tpu.models.layers import fold_conv_bn
+                    x = fold_conv_bn(
+                        self, conv, norm, x, features=ch, use_bias=True,
+                        act=nn.relu, dtype=self.dtype,
+                        conv_name=f"conv_{idx}", bn_name=f"bn_{idx + 1}")
                 else:
                     x = nn.relu(norm(conv(x)))
                 idx += 3  # conv, bn, relu
