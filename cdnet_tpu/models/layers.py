@@ -190,7 +190,13 @@ def _channel_offsets(ups):
 def _split_conv3x3_bn_relu(ups, kernel, bn_params, bn_stats, dtype):
     """relu(BN(conv3x3(concat(ups), kernel))) without the concat: the conv
     is linear in Cin, so kernel[:, :, lo:hi, :] blocks convolve each branch
-    and the f32 partials sum before the folded BN affine."""
+    and the partials sum before the folded BN affine.
+
+    Partials are cast to ``dtype`` before the sum: four live full-res f32
+    partials (2.1 GB each at 8x1024^2x64) OOM'd the 16 GB v5e in the r5
+    HRNet bisection. Each conv still accumulates in f32 internally
+    (preferred_element_type); only the 4-term cross-branch sum rounds at
+    ``dtype`` — in f32 mode nothing changes."""
     offs = _channel_offsets(ups)
     acc = None
     for i, t in enumerate(ups):
@@ -198,15 +204,17 @@ def _split_conv3x3_bn_relu(ups, kernel, bn_params, bn_stats, dtype):
         yi = jax.lax.conv_general_dilated(
             t, ki, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32).astype(dtype)
         acc = yi if acc is None else acc + yi
     scale, offset = pallas_conv.fold_affine(
         kernel.shape[-1], None, bn_params, bn_stats)
-    return jnp.maximum(acc * scale + offset, 0.0).astype(dtype)
+    return jnp.maximum(acc.astype(jnp.float32) * scale + offset,
+                       0.0).astype(dtype)
 
 
 def _split_conv1x1(ups, kernel, bias, dtype):
-    """conv1x1(concat(ups)) + bias as per-branch 1x1 convs summed in f32."""
+    """conv1x1(concat(ups)) + bias as per-branch 1x1 convs; partials cast
+    to ``dtype`` before the sum (memory — see _split_conv3x3_bn_relu)."""
     offs = _channel_offsets(ups)
     acc = None
     for i, t in enumerate(ups):
@@ -214,9 +222,9 @@ def _split_conv1x1(ups, kernel, bias, dtype):
         yi = jax.lax.conv_general_dilated(
             t, ki, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32).astype(dtype)
         acc = yi if acc is None else acc + yi
-    return (acc + bias.astype(jnp.float32)).astype(dtype)
+    return (acc.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
 
 
 class RevAttention(nn.Module):

@@ -31,7 +31,10 @@ from cdnet_tpu.ops.pallas_gate import scoped_off
 
 # "auto": pack eligible convs on TPU at inference; "force": everywhere
 # (CPU tests); "off": never. Pure XLA, so no smoke gate is needed.
-MODE = "auto"
+# Env CDNET_PACKED_CONV overrides (A/B benching, like CDNET_PALLAS_CONV).
+import os as _os
+
+MODE = _os.environ.get("CDNET_PACKED_CONV", "auto")
 
 # measured-best pack factor per Cout (experiments/packed_conv_ab.py)
 _PACK_S = {18: 4}

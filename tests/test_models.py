@@ -111,6 +111,57 @@ class TestParams:
         assert "batch_stats" in mutated
 
 
+class TestVirtualConcat:
+    """ResidualUnit over a branch list == the unit over the materialized
+    upsampled concat (HRNet's DAM head input, seg_hrnet_rev1.py:527-533):
+    the split is an exact linear-algebra rewrite, so f32 agreement is to
+    rounding; params bind to the IDENTICAL tree either way."""
+
+    def _branches(self, rng, dtype):
+        return [jnp.asarray(rng.rand(2, 16, 16, 18), dtype),
+                jnp.asarray(rng.rand(2, 8, 8, 36), dtype),
+                jnp.asarray(rng.rand(2, 4, 4, 72), dtype),
+                jnp.asarray(rng.rand(2, 2, 2, 144), dtype)]
+
+    def test_split_equals_dense_f32(self):
+        from cdnet_tpu.models import layers as L
+        rng = np.random.RandomState(7)
+        xs = self._branches(rng, jnp.float32)
+        ru = L.ResidualUnit(64, dtype=jnp.float32)
+        v = ru.init(jax.random.PRNGKey(0), xs, train=False)
+        got = ru.apply(v, xs, train=False)
+        ref = ru.apply(v, L._materialized_concat(xs, jnp.float32),
+                       train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_param_tree_identical_to_dense(self):
+        from cdnet_tpu.models import layers as L
+        rng = np.random.RandomState(8)
+        xs = self._branches(rng, jnp.float32)
+        ru = L.ResidualUnit(64, dtype=jnp.float32)
+        v_split = ru.init(jax.random.PRNGKey(0), xs, train=False)
+        v_dense = ru.init(jax.random.PRNGKey(0),
+                          L._materialized_concat(xs, jnp.float32),
+                          train=False)
+        tree = jax.tree_util.tree_structure
+        assert tree(v_split) == tree(v_dense)
+        for a, b in zip(jax.tree_util.tree_leaves(v_split),
+                        jax.tree_util.tree_leaves(v_dense)):
+            assert a.shape == b.shape
+
+    def test_train_falls_back_to_dense(self):
+        from cdnet_tpu.models import layers as L
+        rng = np.random.RandomState(9)
+        xs = self._branches(rng, jnp.float32)
+        ru = L.ResidualUnit(64, dtype=jnp.float32)
+        v = ru.init(jax.random.PRNGKey(0), xs, train=False)
+        out, mutated = ru.apply(v, xs, train=True,
+                                mutable=["batch_stats"])
+        assert out.shape == (2, 16, 16, 64)
+        assert "batch_stats" in mutated
+
+
 @pytest.mark.slow
 @pytest.mark.slowzoo
 class TestExtendedZoo:
