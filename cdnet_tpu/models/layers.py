@@ -58,7 +58,7 @@ class ConvBN(nn.Module):
         if (packed_conv.packed_conv_applicable(
                 train=train, kernel=self.kernel, strides=self.strides,
                 dilation=self.dilation, padding=self.padding,
-                cout=self.features, dtype=self.dtype)
+                cout=self.features, dtype=self.dtype, cin=x.shape[-1])
                 and self.act in (nn.relu, None)):
             # width-packed XLA conv: beats both XLA-native and the Pallas
             # supertile kernel at HRNet's Cout=18 (packed_conv docstring)

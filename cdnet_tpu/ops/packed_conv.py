@@ -39,6 +39,9 @@ MODE = _os.environ.get("CDNET_PACKED_CONV", "auto")
 # measured-best pack factor per Cout (experiments/packed_conv_ab.py)
 _PACK_S = {18: 4}
 
+# minimum Cin for auto/force packing (0 = pack every eligible Cout=18 conv)
+_MIN_CIN = int(_os.environ.get("CDNET_PACKED_MIN_CIN", "0"))
+
 
 def packed_kernel(kernel: jnp.ndarray, s: int) -> jnp.ndarray:
     """(3,3,cin,cout) HWIO -> (3,3,s*cin,s*cout) structured-dense kernel.
@@ -83,19 +86,24 @@ def packed_conv3x3_affine_act(x: jnp.ndarray, kernel: jnp.ndarray,
 
 def packed_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
                            dilation: tuple, padding, cout: int,
-                           dtype) -> bool:
+                           dtype, cin: int | None = None) -> bool:
     """Whether ConvBN should lower through the width-packed conv.
 
     Auto policy (measured, module docstring): inference-mode stride-1 SAME
-    3x3 bf16 convs with Cout=18 on TPU. Checked BEFORE the Pallas
-    supertile route in ConvBN, so Cout=18 prefers packed (1.52x the
-    kernel) while Cout=16 keeps the kernel (packed loses there)."""
+    3x3 bf16 convs with Cout=18 on TPU, subject to the ``cin`` floor
+    CDNET_PACKED_MIN_CIN (default 0 = no floor). Checked BEFORE the Pallas
+    supertile route in ConvBN, so eligible Cout=18 convs prefer packed
+    while the rest fall through to the kernel/XLA. The floor exists for
+    in-context A/B (hrnet_bisect full-pipeline: prefix stages suggested
+    packing loses on 18->18 chains but wins on HRNet's 256->18 transition;
+    the FULL-pipeline A/B — the only §6-clean number — decides)."""
     if MODE == "off":
         return False
     shape_ok = (not train and tuple(kernel) == (3, 3)
                 and tuple(strides) == (1, 1) and tuple(dilation) == (1, 1)
                 and padding == "SAME" and cout in _PACK_S
-                and dtype == jnp.bfloat16)
+                and dtype == jnp.bfloat16
+                and (cin is None or cin >= _MIN_CIN))
     if MODE == "force":
         return shape_ok
     return (shape_ok and not scoped_off()
