@@ -23,6 +23,19 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from cdnet_tpu.models.layers import ConvBN, DAMHead, resize_bilinear
+from cdnet_tpu.ops import packed_conv as pc
+from cdnet_tpu.ops import pallas_conv
+
+
+def _folded_convbn(parent, subtree: str):
+    """(kernel, scale, offset) of a bound ConvBN submodule — the packed
+    primitives apply BN as a folded post-affine (fold_conv_bn math)."""
+    p = parent.variables["params"][subtree]
+    bs = parent.variables["batch_stats"][subtree]
+    kernel = p["Conv_0"]["kernel"]
+    scale, offset = pallas_conv.fold_affine(
+        kernel.shape[-1], None, p["BatchNorm_0"], bs["BatchNorm_0"])
+    return kernel, scale, offset
 
 
 class BasicBlock(nn.Module):
@@ -32,6 +45,21 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if isinstance(x, pc.PackedArray):
+            # persistent-packed branch-0 path (inference): both ConvBNs run
+            # packed-in -> packed-out; the residual add + relu stay packed,
+            # so the dense lane-padded 18-ch map never exists. Bind the
+            # identical param tree via dead dense calls (XLA DCEs them).
+            cbn1 = ConvBN(self.features, strides=self.strides,
+                          dtype=self.dtype)
+            cbn2 = ConvBN(self.features, act=None, dtype=self.dtype)
+            dummy = jnp.zeros((1, 4, 4, x.shape[-1]), self.dtype)
+            cbn2(cbn1(dummy, train), train)
+            k1, s1, o1 = _folded_convbn(self, "ConvBN_0")
+            k2, s2, o2 = _folded_convbn(self, "ConvBN_1")
+            out = pc.packed_conv3x3_pre(x.data, k1, s1, o1, relu=True, s=x.s)
+            out = pc.packed_conv3x3_pre(out, k2, s2, o2, relu=False, s=x.s)
+            return pc.PackedArray(jnp.maximum(out + x.data, 0.0), x.s)
         residual = x
         out = ConvBN(self.features, strides=self.strides, dtype=self.dtype)(x, train)
         out = ConvBN(self.features, act=None, dtype=self.dtype)(out, train)
@@ -83,7 +111,8 @@ class HRModule(nn.Module):
         outs = []
         for i in range(n):
             acc = ys[i]
-            h, w = ys[i].shape[1], ys[i].shape[2]
+            h, w = ys[i].shape[1], ys[i].shape[2]  # absolute (PackedArray
+            # reports its logical unpacked shape)
             for j in range(n):
                 if j == i:
                     continue
@@ -91,27 +120,57 @@ class HRModule(nn.Module):
                     t = ConvBN(self.channels[i], kernel=(1, 1), act=None,
                                dtype=self.dtype, name=f"fuse{i}_{j}")(ys[j], train)
                     t = resize_bilinear(t, h, w)
+                    if isinstance(acc, pc.PackedArray):
+                        # the pack reshape composes with the phase-blend's
+                        # output write, so the dense lane-padded 18-ch map
+                        # never lands in HBM
+                        t = pc.PackedArray(pc.pack(t, acc.s), acc.s)
                 else:  # downsample: (i-j) stride-2 3x3 convs
                     t = ys[j]
                     for k in range(i - j):
                         last = k == i - j - 1
                         # torch pad=1 stride-2 semantics, NOT "SAME" (which
                         # pads (0,1) on even sizes and shifts the sample grid)
-                        t = ConvBN(self.channels[i] if last else self.channels[j],
-                                   strides=(2, 2), padding=((1, 1), (1, 1)),
-                                   act=None if last else nn.relu,
-                                   dtype=self.dtype,
-                                   name=f"fuse{i}_{j}_down{k}")(t, train)
-                acc = acc + t
-            outs.append(nn.relu(acc))
+                        cbn = ConvBN(self.channels[i] if last else self.channels[j],
+                                     strides=(2, 2), padding=((1, 1), (1, 1)),
+                                     act=None if last else nn.relu,
+                                     dtype=self.dtype,
+                                     name=f"fuse{i}_{j}_down{k}")
+                        if isinstance(t, pc.PackedArray):
+                            # stride-2 conv straight off the packed map
+                            # (identical pad=1 semantics); bind the param
+                            # tree via a dead dense call
+                            cbn(jnp.zeros((1, 4, 4, t.shape[-1]),
+                                          self.dtype), train)
+                            kk, sc, of = _folded_convbn(
+                                self, f"fuse{i}_{j}_down{k}")
+                            t = pc.packed_conv3x3_s2(
+                                t.data, kk, sc, of, relu=not last, s=t.s)
+                        else:
+                            t = cbn(t, train)
+                if isinstance(acc, pc.PackedArray):
+                    acc = pc.PackedArray(acc.data + t.data, acc.s)
+                else:
+                    acc = acc + t
+            if isinstance(acc, pc.PackedArray):
+                outs.append(pc.PackedArray(nn.relu(acc.data), acc.s))
+            else:
+                outs.append(nn.relu(acc))
         return outs
 
 
 class _Transition(nn.Module):
-    """Branch-count/channel transition between stages (seg_hrnet_rev1.py:410-444)."""
+    """Branch-count/channel transition between stages (seg_hrnet_rev1.py:410-444).
+
+    ``pack_branch0``: emit branch 0 as a PackedArray via the dense->packed
+    conv ((3, s+2) kernel at width-stride s — 2x the true MACs vs 4x for
+    packing the 256-wide input too, and 27% faster than the native conv in
+    the r5 layout A/B) so the whole branch-0 chain downstream stays packed."""
     in_channels: Sequence[int]
     out_channels: Sequence[int]
     dtype: object = jnp.bfloat16
+    pack_branch0: bool = False
+    pack_s: int = 4
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -119,8 +178,17 @@ class _Transition(nn.Module):
         for i, ch in enumerate(self.out_channels):
             if i < len(self.in_channels):
                 if self.in_channels[i] != ch:
-                    outs.append(ConvBN(ch, dtype=self.dtype,
-                                       name=f"trans{i}")(xs[i], train))
+                    cbn = ConvBN(ch, dtype=self.dtype, name=f"trans{i}")
+                    if i == 0 and self.pack_branch0 and not train:
+                        cbn(jnp.zeros((1, 4, 4, xs[i].shape[-1]),
+                                      self.dtype), train)
+                        kk, sc, of = _folded_convbn(self, f"trans{i}")
+                        outs.append(pc.PackedArray(
+                            pc.dense_to_packed_conv3x3(
+                                xs[i].astype(self.dtype), kk, sc, of,
+                                relu=True, s=self.pack_s), self.pack_s))
+                    else:
+                        outs.append(cbn(xs[i], train))
                 else:
                     outs.append(xs[i])
             else:  # new branch: stride-2 conv(s) from the last existing branch
@@ -160,7 +228,20 @@ class HRNet18DAM(nn.Module):
             return x
 
         chs2, chs3, chs4 = (18, 36), (18, 36, 72), (18, 36, 72, 144)
-        xs = _Transition((256,), chs2, dtype=self.dtype, name="transition1")([x], train)
+        # persistent-packed branch 0 (inference, TPU/forced): the stride-1
+        # stem keeps branch 0 at FULL resolution with 18 channels — dense
+        # it is lane-padded 18->128 (~7x physical HBM bytes; a single relu
+        # on it measured 5.0 ms, experiments/packed_layout_ab.py). Packing
+        # width into channels once at transition1 and keeping every block,
+        # fusion sum, and stride-2 exchange in packed space removes that
+        # padding from the entire stage 2-4 chain. Math is exact (the
+        # packed kernels re-index the same taps; tests/test_models.py).
+        s_pack = 4
+        use_packed = pc.persistent_pack_applicable(
+            train=train, h=x.shape[1], w=x.shape[2], s=s_pack,
+            dtype=self.dtype)
+        xs = _Transition((256,), chs2, dtype=self.dtype, name="transition1",
+                         pack_branch0=use_packed, pack_s=s_pack)([x], train)
         xs = HRModule(chs2, dtype=self.dtype, name="stage2_m0")(xs, train)
         if stop_at == "stage2":
             return xs
@@ -176,6 +257,10 @@ class HRNet18DAM(nn.Module):
             xs = HRModule(chs4, dtype=self.dtype, name=f"stage4_m{m}")(xs, train)
         if stop_at == "stage4":
             return xs
+        # leave packed space at the head boundary (one relayout; the DAM
+        # head's split first unit then runs composite low-res convs)
+        xs = [t.unpack() if isinstance(t, pc.PackedArray) else t
+              for t in xs]
 
         # upsample + concat all branches (seg_hrnet_rev1.py:527-533). The
         # DAM inference path hands the BRANCH LIST to the head instead: its

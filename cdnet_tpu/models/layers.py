@@ -142,8 +142,8 @@ class ResidualUnit(nn.Module):
         cbn2 = ConvBN(self.features, act=None, dtype=self.dtype,
                       name="ConvBN_1")
         if isinstance(x, (list, tuple)) and not train:
-            ups = _upsampled_branches(x, self.dtype)
-            cin = sum(t.shape[-1] for t in ups)
+            branches = [t.astype(self.dtype) for t in x]
+            cin = sum(t.shape[-1] for t in branches)
             # bind the identical param tree via dead 1x1-spatial calls
             dummy = jnp.zeros((1, 1, 1, cin), self.dtype)
             shortcut(dummy)
@@ -151,11 +151,12 @@ class ResidualUnit(nn.Module):
             p = self.variables["params"]
             bs = self.variables.get("batch_stats", {})
             out = _split_conv3x3_bn_relu(
-                ups, p["ConvBN_0"]["Conv_0"]["kernel"],
+                branches, p["ConvBN_0"]["Conv_0"]["kernel"],
                 p["ConvBN_0"]["BatchNorm_0"],
                 bs["ConvBN_0"]["BatchNorm_0"], self.dtype)
             residual = _split_conv1x1(
-                ups, p["Conv_0"]["kernel"], p["Conv_0"]["bias"], self.dtype)
+                branches, p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
+                self.dtype)
         else:
             if isinstance(x, (list, tuple)):  # train: dense fallback
                 x = _materialized_concat(x, self.dtype)
@@ -187,24 +188,42 @@ def _channel_offsets(ups):
     return offs
 
 
-def _split_conv3x3_bn_relu(ups, kernel, bn_params, bn_stats, dtype):
-    """relu(BN(conv3x3(concat(ups), kernel))) without the concat: the conv
-    is linear in Cin, so kernel[:, :, lo:hi, :] blocks convolve each branch
-    and the partials sum before the folded BN affine.
+def _int_scale(t, h, w):
+    """Integer (sh == sw) upsample factor from t's resolution to (h, w),
+    or None when the resize isn't an integer upscale."""
+    th, tw = t.shape[1], t.shape[2]
+    if th and tw and h % th == 0 and w % tw == 0 and h // th == w // tw:
+        return h // th
+    return None
+
+
+def _split_conv3x3_bn_relu(branches, kernel, bn_params, bn_stats, dtype):
+    """relu(BN(conv3x3(concat(upsampled branches), kernel))) without the
+    concat OR the upsamples: the conv is linear in Cin, so
+    kernel[:, :, lo:hi, :] blocks serve each branch, and for integer
+    upsample factors conv3x3(up_s(t)) collapses into one LOW-resolution
+    composite conv (ops/upconv.py) — s^2*Cout dense output lanes on an
+    s^2-smaller grid, no 0.6-2.4 GB upsampled branch tensors in HBM.
 
     Partials are cast to ``dtype`` before the sum: four live full-res f32
     partials (2.1 GB each at 8x1024^2x64) OOM'd the 16 GB v5e in the r5
     HRNet bisection. Each conv still accumulates in f32 internally
     (preferred_element_type); only the 4-term cross-branch sum rounds at
     ``dtype`` — in f32 mode nothing changes."""
-    offs = _channel_offsets(ups)
+    from cdnet_tpu.ops.upconv import conv3x3_of_upsampled
+    h, w = branches[0].shape[1], branches[0].shape[2]
+    offs = _channel_offsets(branches)
     acc = None
-    for i, t in enumerate(ups):
+    for i, t in enumerate(branches):
         ki = kernel[:, :, offs[i]:offs[i + 1], :].astype(dtype)
-        yi = jax.lax.conv_general_dilated(
-            t, ki, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(dtype)
+        s = _int_scale(t, h, w)
+        if s is not None:
+            yi = conv3x3_of_upsampled(t, ki, s)
+        else:  # non-integer ratio: materialize the resize (generic path)
+            yi = jax.lax.conv_general_dilated(
+                resize_bilinear(t, h, w), ki, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32).astype(dtype)
         acc = yi if acc is None else acc + yi
     scale, offset = pallas_conv.fold_affine(
         kernel.shape[-1], None, bn_params, bn_stats)
@@ -212,17 +231,24 @@ def _split_conv3x3_bn_relu(ups, kernel, bn_params, bn_stats, dtype):
                        0.0).astype(dtype)
 
 
-def _split_conv1x1(ups, kernel, bias, dtype):
-    """conv1x1(concat(ups)) + bias as per-branch 1x1 convs; partials cast
-    to ``dtype`` before the sum (memory — see _split_conv3x3_bn_relu)."""
-    offs = _channel_offsets(ups)
+def _split_conv1x1(branches, kernel, bias, dtype):
+    """conv1x1(concat(upsampled branches)) + bias, with each 1x1 conv run
+    at the branch's OWN resolution: a pointwise conv commutes exactly with
+    bilinear interpolation (up acts per channel, conv per pixel), so
+    conv1x1(up(t)) == up(conv1x1(t)) — the upsample then moves 64 output
+    channels instead of the branch's input channels. Partials cast to
+    ``dtype`` before the sum (memory — see _split_conv3x3_bn_relu)."""
+    h, w = branches[0].shape[1], branches[0].shape[2]
+    offs = _channel_offsets(branches)
     acc = None
-    for i, t in enumerate(ups):
+    for i, t in enumerate(branches):
         ki = kernel[:, :, offs[i]:offs[i + 1], :].astype(dtype)
         yi = jax.lax.conv_general_dilated(
             t, ki, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32).astype(dtype)
+        if yi.shape[1] != h or yi.shape[2] != w:
+            yi = resize_bilinear(yi, h, w)
         acc = yi if acc is None else acc + yi
     return (acc.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
 

@@ -84,6 +84,163 @@ def packed_conv3x3_affine_act(x: jnp.ndarray, kernel: jnp.ndarray,
     return y[:, :, :w] if wp != w else y
 
 
+@jax.tree_util.register_pytree_node_class
+class PackedArray:
+    """An (N,H,W/s,s*C) tensor standing for a logical (N,H,W,C) map.
+
+    Flows through HRNet's branch-0 inference path (models/hrnet.py) so the
+    18-channel full-res map never exists in dense layout — dense it is
+    lane-padded 18->128 on TPU (~7x physical bytes; measured 5.0 ms for a
+    single relu at 8x1024^2x18 vs ~0 packed, experiments/packed_layout_ab).
+    Registered as a pytree so jit/psum-free code can pass it around."""
+
+    def __init__(self, data: jnp.ndarray, s: int):
+        self.data = data
+        self.s = s
+
+    def tree_flatten(self):
+        return (self.data,), self.s
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+    @property
+    def shape(self):
+        """ABSOLUTE (unpacked) logical shape."""
+        n, h, wc, sc = self.data.shape
+        return (n, h, wc * self.s, sc // self.s)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def unpack(self) -> jnp.ndarray:
+        return unpack(self.data, self.s)
+
+
+def pack(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(N,H,W,C) -> (N,H,W/s,s*C): row-major bitcast into packed layout.
+
+    In packed layout the minor dim holds s*C channels, so TPU lane padding
+    (C -> 128) shrinks s-fold: an 18-channel full-res bf16 tensor is
+    physically ~7x its logical bytes (18 of 128 lanes used); packed s=4 it
+    is ~1.8x. Every elementwise op on branch-0 tensors moves that physical
+    footprint — the reason HRNet's branch 0 stays packed across whole
+    stages (models/hrnet.py inference path)."""
+    n, h, w, c = x.shape
+    assert w % s == 0, (w, s)
+    return x.reshape(n, h, w // s, s * c)
+
+
+def unpack(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(N,H,W/s,s*C) -> (N,H,W,C): inverse of :func:`pack`."""
+    n, h, wc, sc = x.shape
+    return x.reshape(n, h, wc * s, sc // s)
+
+
+def packed_conv3x3_pre(xp: jnp.ndarray, kernel: jnp.ndarray,
+                       scale: jnp.ndarray, offset: jnp.ndarray,
+                       *, relu: bool, s: int) -> jnp.ndarray:
+    """Packed-in -> packed-out stride-1 SAME 3x3 conv + affine (+ReLU).
+
+    ``xp`` is ALREADY packed (N,H,W/s,s*Cin); returns (N,H,W/s,s*Cout)
+    still packed — the chain form of :func:`packed_conv3x3_affine_act`
+    (which packs/unpacks around a single conv). Consecutive branch-0 convs
+    chained through this never leave packed layout."""
+    kp = packed_kernel(kernel.astype(xp.dtype), s)
+    y = jax.lax.conv_general_dilated(
+        xp, kp, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = y * jnp.tile(scale, s) + jnp.tile(offset, s)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(xp.dtype)
+
+
+def dense_to_packed_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
+                            scale: jnp.ndarray, offset: jnp.ndarray,
+                            *, relu: bool, s: int) -> jnp.ndarray:
+    """Dense-in -> packed-out stride-1 SAME 3x3 conv + affine (+ReLU).
+
+    For convs with MANY input channels producing a packed small-Cout map
+    (HRNet's transition1 256->18, seg_hrnet_rev1.py:410-444): packing the
+    input too (packed_conv3x3_affine_act) executes s x the true MACs, but
+    with a dense input only the OUTPUT needs packing — a (3, s+2) kernel at
+    width-stride s writes each packed cell's s phases in one window, at
+    (s+2)/3 x the true MACs (2.0x at s=4 vs 4x for full packing).
+
+    Output cell u phase p reads absolute columns s*u + p + dj, dj in
+    {-1,0,1} — the union over p is [s*u - 1, s*u + s], a width-(s+2)
+    window at stride s; kernel column (p + dj + 1) of output slot p holds
+    original tap dj. SAME zero padding = (1, 1) absolute columns.
+    x: (N,H,W,Cin); returns (N,H,W/s,s*Cout) packed."""
+    n, h, w, cin = x.shape
+    cout = kernel.shape[3]
+    assert w % s == 0, (w, s)
+    kd = jnp.zeros((3, s + 2, cin, s * cout), x.dtype)
+    k = kernel.astype(x.dtype)
+    for p in range(s):
+        for dj in (-1, 0, 1):
+            kd = kd.at[:, p + dj + 1, :, p * cout:(p + 1) * cout].set(
+                k[:, dj + 1])
+    y = jax.lax.conv_general_dilated(
+        x, kd, (1, s), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = y * jnp.tile(scale, s) + jnp.tile(offset, s)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+
+def packed_conv3x3_s2(xp: jnp.ndarray, kernel: jnp.ndarray,
+                      scale: jnp.ndarray, offset: jnp.ndarray,
+                      *, relu: bool, s: int) -> jnp.ndarray:
+    """Packed-in stride-2 3x3 conv (torch pad=1 semantics) -> DENSE output
+    at half resolution.
+
+    HRNet's fuse/transition downsample exchanges run stride-2 3x3 convs on
+    the FULL-res branch-0 map (seg_hrnet_rev1.py:249-268) — lane-starved
+    (Cin=18) and ineligible for the stride-1 packed route. With the input
+    already packed, output column j reads absolute columns 2j + dj, which
+    live in packed cells (2j + dj) // s with s//2-periodic phase patterns:
+    output columns split into s//2 phase classes, each a width-stride-
+    (s//2... ) — implemented via a packed-OUTPUT formulation: output is
+    produced packed at factor s (cells of s output columns = 2s absolute
+    input columns = 2 input cells), i.e. a stride-(2,2)-cells conv with a
+    3x3 packed-cell kernel, then unpacked. Executed MACs = s x true (same
+    as the stride-1 packed conv); K = 3*s*Cin dense.
+
+    xp: (N,H,W/s,s*Cin) packed full-res; returns (N,H/2,W/2,Cout) dense.
+    Requires (W/2) % s == 0."""
+    n, h, wc, scin = xp.shape
+    cin = scin // s
+    cout = kernel.shape[3]
+    w = wc * s
+    assert (w // 2) % s == 0, (w, s)
+    k = kernel.astype(xp.dtype)
+    # output packed cell u' slot p' = absolute output column s*u' + p' =
+    # absolute input column 2*(s*u' + p') + dj = s*(2u') + 2p' + dj:
+    # input packed cell 2u' + v, v = (2p'+dj)//s, phase q = (2p'+dj) mod s
+    kp = jnp.zeros((3, 3, s * cin, s * cout), xp.dtype)
+    for p in range(s):
+        for dj in (-1, 0, 1):
+            t = 2 * p + dj
+            q, v = t % s, t // s
+            kp = kp.at[:, v + 1, q * cin:(q + 1) * cin,
+                       p * cout:(p + 1) * cout].set(k[:, dj + 1])
+    y = jax.lax.conv_general_dilated(
+        xp, kp, (2, 2), [(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = y * jnp.tile(scale, s) + jnp.tile(offset, s)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return unpack(y.astype(xp.dtype), s)
+
+
 def packed_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
                            dilation: tuple, padding, cout: int,
                            dtype, cin: int | None = None) -> bool:
@@ -112,6 +269,20 @@ def packed_conv_applicable(*, train: bool, kernel: tuple, strides: tuple,
 
 def pack_factor(cout: int) -> int:
     return _PACK_S[cout]
+
+
+def persistent_pack_applicable(*, train: bool, h: int, w: int, s: int,
+                               dtype) -> bool:
+    """Whether HRNet's branch 0 should run the persistent-packed path
+    (models/hrnet.py): inference, geometry divisible for the stride-2
+    exchanges, and either forced (tests — any float dtype, the math is
+    exact) or the production TPU bf16 case."""
+    if MODE == "off" or train or h % 2 or w % (2 * s):
+        return False
+    if MODE == "force":
+        return True
+    return (dtype == jnp.bfloat16 and not scoped_off()
+            and jax.default_backend() == "tpu")
 
 
 def is_active() -> bool:
