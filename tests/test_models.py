@@ -162,6 +162,68 @@ class TestVirtualConcat:
         assert "batch_stats" in mutated
 
 
+class TestCompositeUpconv:
+    """conv3x3(bilinear_up_s(x)) collapsed to one low-res conv +
+    depth-to-space (ops/upconv.py; the HRNet head merge runs on this)."""
+
+    @pytest.mark.parametrize("s,h,w,cin,cout", [
+        (2, 7, 9, 5, 4), (4, 6, 5, 3, 7), (8, 4, 6, 2, 3), (1, 5, 5, 3, 3),
+    ])
+    def test_matches_direct_path(self, s, h, w, cin, cout):
+        from cdnet_tpu.ops.upconv import conv3x3_of_upsampled
+        from cdnet_tpu.ops.upsample import upsample_bilinear_int
+        rng = np.random.RandomState(s + cin)
+        x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.3, jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            upsample_bilinear_int(x, s, s), k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = conv3x3_of_upsampled(x, k, s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+
+class TestPersistentPackedHRNet:
+    """HRNet's branch 0 runs width-packed across stages 2-4 at inference
+    (models/hrnet.py; the dense 18-ch full-res map is lane-padded 18->128
+    on TPU — experiments/packed_layout_ab.py). The packed path must be a
+    pure re-layout: f32 forward parity with the dense path to rounding."""
+
+    def test_forced_packed_equals_dense_f32(self):
+        from cdnet_tpu.models.hrnet import HRNet18DAM
+        from cdnet_tpu.ops import packed_conv
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+        model = HRNet18DAM(dtype=jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x, train=False)
+        old = packed_conv.MODE
+        try:
+            packed_conv.MODE = "off"
+            ref = model.apply(v, x, train=False)
+            packed_conv.MODE = "force"
+            got = model.apply(v, x, train=False)
+        finally:
+            packed_conv.MODE = old
+        for k in ref:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(ref[k]), atol=1e-3)
+
+    def test_gate_respects_geometry(self):
+        from cdnet_tpu.ops import packed_conv
+        old = packed_conv.MODE
+        try:
+            packed_conv.MODE = "force"
+            ok = packed_conv.persistent_pack_applicable(
+                train=False, h=64, w=64, s=4, dtype=jnp.float32)
+            bad_w = packed_conv.persistent_pack_applicable(
+                train=False, h=64, w=60, s=4, dtype=jnp.float32)
+            trn = packed_conv.persistent_pack_applicable(
+                train=True, h=64, w=64, s=4, dtype=jnp.float32)
+        finally:
+            packed_conv.MODE = old
+        assert ok and not bad_w and not trn
+
+
 @pytest.mark.slow
 @pytest.mark.slowzoo
 class TestExtendedZoo:

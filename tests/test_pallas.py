@@ -387,6 +387,68 @@ class TestPackedConv:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5)
 
+    @pytest.mark.parametrize("s,cin,cout,h,w", [
+        (4, 18, 18, 16, 32), (2, 5, 7, 8, 12),
+    ])
+    def test_packed_pre_matches_xla(self, s, cin, cout, h, w):
+        """Packed-in -> packed-out chain conv (persistent branch-0 layout,
+        models/hrnet.py) == XLA conv + affine + relu to f32 rounding."""
+        from cdnet_tpu.ops import packed_conv as pc
+        rng = np.random.RandomState(s + cin)
+        x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.2, jnp.float32)
+        sc = jnp.asarray(rng.rand(cout) + 0.5, jnp.float32)
+        of = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+        ref = jnp.maximum(jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32) * sc + of, 0.0)
+        got = pc.unpack(pc.packed_conv3x3_pre(
+            pc.pack(x, s), k, sc, of, relu=True, s=s), s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
+    @pytest.mark.parametrize("s,cin,cout", [(4, 64, 18), (2, 16, 6)])
+    def test_dense_to_packed_matches_xla(self, s, cin, cout):
+        """Dense-in -> packed-out conv ((3, s+2) kernel at width-stride s;
+        HRNet transition1 256->18) == XLA conv to f32 rounding."""
+        from cdnet_tpu.ops import packed_conv as pc
+        rng = np.random.RandomState(s)
+        x = jnp.asarray(rng.randn(2, 16, 32, cin), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+        sc = jnp.asarray(rng.rand(cout) + 0.5, jnp.float32)
+        of = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+        ref = jnp.maximum(jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32) * sc + of, 0.0)
+        got = pc.unpack(pc.dense_to_packed_conv3x3(
+            x, k, sc, of, relu=True, s=s), s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
+    @pytest.mark.parametrize("s,cin,cout,h,w,relu", [
+        (4, 18, 36, 16, 32, False), (4, 18, 18, 32, 64, True),
+    ])
+    def test_packed_s2_matches_xla(self, s, cin, cout, h, w, relu):
+        """Packed-in stride-2 conv (HRNet fusion downsample exchanges,
+        torch pad=1 semantics) == XLA stride-2 conv to f32 rounding."""
+        from cdnet_tpu.ops import packed_conv as pc
+        rng = np.random.RandomState(cout)
+        x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.2, jnp.float32)
+        sc = jnp.asarray(rng.rand(cout) + 0.5, jnp.float32)
+        of = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32) * sc + of
+        if relu:
+            ref = jnp.maximum(ref, 0.0)
+        got = pc.packed_conv3x3_s2(pc.pack(x, s), k, sc, of, relu=relu, s=s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
     def test_convbn_packed_path_matches_xla(self):
         """ConvBN(18) with packing forced == the XLA path at bf16 tolerance,
         identical parameter tree (checkpoint layout unchanged)."""
