@@ -117,14 +117,11 @@ class HRModule(nn.Module):
                 if j == i:
                     continue
                 if j > i:  # upsample: 1x1 conv to ch_i, bn, bilinear
+                    src = ys[j].unpack() if isinstance(ys[j], pc.PackedArray) \
+                        else ys[j]  # XLA CSEs repeated unpacks of one map
                     t = ConvBN(self.channels[i], kernel=(1, 1), act=None,
-                               dtype=self.dtype, name=f"fuse{i}_{j}")(ys[j], train)
+                               dtype=self.dtype, name=f"fuse{i}_{j}")(src, train)
                     t = resize_bilinear(t, h, w)
-                    if isinstance(acc, pc.PackedArray):
-                        # the pack reshape composes with the phase-blend's
-                        # output write, so the dense lane-padded 18-ch map
-                        # never lands in HBM
-                        t = pc.PackedArray(pc.pack(t, acc.s), acc.s)
                 else:  # downsample: (i-j) stride-2 3x3 convs
                     t = ys[j]
                     for k in range(i - j):
@@ -149,9 +146,15 @@ class HRModule(nn.Module):
                         else:
                             t = cbn(t, train)
                 if isinstance(acc, pc.PackedArray):
-                    acc = pc.PackedArray(acc.data + t.data, acc.s)
+                    # dense exchange results enter packed space as a pack
+                    # reshape that composes with the producer's output
+                    # write (the dense lane-padded map never lands in HBM)
+                    td = t.data if isinstance(t, pc.PackedArray) \
+                        else pc.pack(t, acc.s)
+                    acc = pc.PackedArray(acc.data + td, acc.s)
                 else:
-                    acc = acc + t
+                    acc = acc + (t.unpack() if isinstance(t, pc.PackedArray)
+                                 else t)
             if isinstance(acc, pc.PackedArray):
                 outs.append(pc.PackedArray(nn.relu(acc.data), acc.s))
             else:
@@ -162,42 +165,52 @@ class HRModule(nn.Module):
 class _Transition(nn.Module):
     """Branch-count/channel transition between stages (seg_hrnet_rev1.py:410-444).
 
-    ``pack_branch0``: emit branch 0 as a PackedArray via the dense->packed
-    conv ((3, s+2) kernel at width-stride s — 2x the true MACs vs 4x for
-    packing the 256-wide input too, and 27% faster than the native conv in
-    the r5 layout A/B) so the whole branch-0 chain downstream stays packed."""
+    ``pack_spec``: per-OUTPUT-branch width-pack factor (0 = dense). A
+    channel-changing existing branch (transition1's 256->18) emits packed
+    via the dense->packed conv ((3, s+2) kernel at width-stride s — 2x the
+    true MACs vs 4x for packing the 256-wide input too, and 27% faster
+    than the native conv in the r5 layout A/B); a NEW branch packs its
+    stride-2 chain output with a reshape that composes into the conv's
+    epilogue write. Downstream the whole branch chain stays packed."""
     in_channels: Sequence[int]
     out_channels: Sequence[int]
     dtype: object = jnp.bfloat16
-    pack_branch0: bool = False
-    pack_s: int = 4
+    pack_spec: Sequence[int] = ()
+
+    def _pack_s(self, i: int) -> int:
+        return self.pack_spec[i] if i < len(self.pack_spec) else 0
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
         outs = []
         for i, ch in enumerate(self.out_channels):
+            s = 0 if train else self._pack_s(i)
             if i < len(self.in_channels):
                 if self.in_channels[i] != ch:
                     cbn = ConvBN(ch, dtype=self.dtype, name=f"trans{i}")
-                    if i == 0 and self.pack_branch0 and not train:
+                    if s:
                         cbn(jnp.zeros((1, 4, 4, xs[i].shape[-1]),
                                       self.dtype), train)
                         kk, sc, of = _folded_convbn(self, f"trans{i}")
                         outs.append(pc.PackedArray(
                             pc.dense_to_packed_conv3x3(
                                 xs[i].astype(self.dtype), kk, sc, of,
-                                relu=True, s=self.pack_s), self.pack_s))
+                                relu=True, s=s), s))
                     else:
                         outs.append(cbn(xs[i], train))
                 else:
                     outs.append(xs[i])
             else:  # new branch: stride-2 conv(s) from the last existing branch
                 t = xs[-1]
+                if isinstance(t, pc.PackedArray):
+                    t = t.unpack()
                 for j in range(i + 1 - len(self.in_channels)):
                     out_ch = ch if j == i - len(self.in_channels) else t.shape[-1]
                     t = ConvBN(out_ch, strides=(2, 2),
                                padding=((1, 1), (1, 1)), dtype=self.dtype,
                                name=f"trans{i}_down{j}")(t, train)
+                if s:
+                    t = pc.PackedArray(pc.pack(t, s), s)
                 outs.append(t)
         return outs
 
@@ -236,12 +249,16 @@ class HRNet18DAM(nn.Module):
         # fusion sum, and stride-2 exchange in packed space removes that
         # padding from the entire stage 2-4 chain. Math is exact (the
         # packed kernels re-index the same taps; tests/test_models.py).
-        s_pack = 4
-        use_packed = pc.persistent_pack_applicable(
-            train=train, h=x.shape[1], w=x.shape[2], s=s_pack,
-            dtype=self.dtype)
+        h0, w0 = x.shape[1], x.shape[2]
+        pack0 = 4 if pc.persistent_pack_applicable(
+            train=train, h=h0, w=w0, s=4, dtype=self.dtype) else 0
+        # branch 1 (36ch @ half res, dense lane-padded 36->128 = ~3.5x)
+        # packs at s=2 under the same gate, evaluated at ITS geometry
+        pack1 = 2 if (pack0 and pc.persistent_pack_applicable(
+            train=train, h=h0 // 2, w=w0 // 2, s=2,
+            dtype=self.dtype)) else 0
         xs = _Transition((256,), chs2, dtype=self.dtype, name="transition1",
-                         pack_branch0=use_packed, pack_s=s_pack)([x], train)
+                         pack_spec=(pack0, pack1))([x], train)
         xs = HRModule(chs2, dtype=self.dtype, name="stage2_m0")(xs, train)
         if stop_at == "stage2":
             return xs
@@ -257,10 +274,6 @@ class HRNet18DAM(nn.Module):
             xs = HRModule(chs4, dtype=self.dtype, name=f"stage4_m{m}")(xs, train)
         if stop_at == "stage4":
             return xs
-        # leave packed space at the head boundary (one relayout; the DAM
-        # head's split first unit then runs composite low-res convs)
-        xs = [t.unpack() if isinstance(t, pc.PackedArray) else t
-              for t in xs]
 
         # upsample + concat all branches (seg_hrnet_rev1.py:527-533). The
         # DAM inference path hands the BRANCH LIST to the head instead: its
@@ -269,9 +282,14 @@ class HRNet18DAM(nn.Module):
         # full-res concat — lane-padded to 384 on TPU — never materializes
         # (PERF.md §7's `cat` stage). Exact same math, identical params.
         if self.with_dam and not train and stop_at is None:
+            # packed branches flow straight into the head: its split first
+            # unit convolves them packed (dense s*64 output lanes)
             return DAMHead(out_c=self.out_c,
                            direction_classes=self.direction_classes,
                            dtype=self.dtype, name="dam")(list(xs), train)
+        # the dense concat/cat paths need dense branches
+        xs = [t.unpack() if isinstance(t, pc.PackedArray) else t
+              for t in xs]
         h, w = xs[0].shape[1], xs[0].shape[2]
         cat = jnp.concatenate(
             [xs[0]] + [resize_bilinear(t, h, w) for t in xs[1:]], axis=-1)

@@ -210,16 +210,69 @@ def _split_conv3x3_bn_relu(branches, kernel, bn_params, bn_stats, dtype):
     HRNet bisection. Each conv still accumulates in f32 internally
     (preferred_element_type); only the 4-term cross-branch sum rounds at
     ``dtype`` — in f32 mode nothing changes."""
+    from cdnet_tpu.ops import upconv
+    h, w = branches[0].shape[1], branches[0].shape[2]
+    offs = _channel_offsets(branches)
+    cout = kernel.shape[-1]
+    # width-pack factor of the ACCUMULATOR: partial sums live at dense
+    # lane occupancy ((B,H,W/4,4*64) is 1.0 GB physical where the dense
+    # 64-ch twin is 2.0 GB lane-padded — packed accumulation halved the
+    # head-merge peak that OOM'd the 16 GB v5e in r5)
+    S = branches[0].s if isinstance(branches[0], packed_conv.PackedArray) \
+        else (4 if w % 4 == 0 else 1)
+    scales = [_int_scale(t, h, w) for t in branches]
+    if S == 1 or any(s is None for s in scales):
+        return _split_conv3x3_bn_relu_dense(branches, kernel, bn_params,
+                                            bn_stats, dtype)
+    ones = jnp.ones((cout,), jnp.float32)
+    zero = jnp.zeros((cout,), jnp.float32)
+    acc = None
+    corr = None
+    for i, t in enumerate(branches):
+        ki = kernel[:, :, offs[i]:offs[i + 1], :].astype(dtype)
+        if isinstance(t, packed_conv.PackedArray) \
+                and t.shape[1:3] == (h, w) and t.s == S:
+            # packed branch AT target res (HRNet branch 0): conv packed
+            # (dense s*Cout lanes; 1.19 vs 5.38 ms native at 18->64)
+            yi = packed_conv.packed_conv3x3_pre(
+                t.data, ki, ones, zero, relu=False, s=S)
+        else:
+            td = t.unpack() if isinstance(t, packed_conv.PackedArray) else t
+            s = _int_scale(td, h, w)
+            if s == 1:  # same-res dense branch: direct conv, packed out
+                yi = packed_conv.pack(jax.lax.conv_general_dilated(
+                    td, ki, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32).astype(dtype), S)
+            else:
+                yi, ci = upconv.conv3x3_of_upsampled_packed(td, ki, s, S)
+                corr = ci if corr is None else jax.tree_util.tree_map(
+                    jnp.add, corr, ci)
+        acc = yi if acc is None else acc + yi
+    if corr is not None:
+        acc = upconv.apply_border_corrections_packed(acc, corr, cout, S)
+    scale, offset = pallas_conv.fold_affine(
+        kernel.shape[-1], None, bn_params, bn_stats)
+    out = jnp.maximum(acc.astype(jnp.float32) * jnp.tile(scale, S)
+                      + jnp.tile(offset, S), 0.0).astype(dtype)
+    return packed_conv.unpack(out, S)
+
+
+def _split_conv3x3_bn_relu_dense(branches, kernel, bn_params, bn_stats,
+                                 dtype):
+    """Dense fallback (non-integer resize ratios or odd widths)."""
     from cdnet_tpu.ops.upconv import conv3x3_of_upsampled
     h, w = branches[0].shape[1], branches[0].shape[2]
     offs = _channel_offsets(branches)
     acc = None
     for i, t in enumerate(branches):
         ki = kernel[:, :, offs[i]:offs[i + 1], :].astype(dtype)
+        if isinstance(t, packed_conv.PackedArray):
+            t = t.unpack()
         s = _int_scale(t, h, w)
         if s is not None:
             yi = conv3x3_of_upsampled(t, ki, s)
-        else:  # non-integer ratio: materialize the resize (generic path)
+        else:  # non-integer ratio: materialize the resize
             yi = jax.lax.conv_general_dilated(
                 resize_bilinear(t, h, w), ki, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -236,20 +289,35 @@ def _split_conv1x1(branches, kernel, bias, dtype):
     at the branch's OWN resolution: a pointwise conv commutes exactly with
     bilinear interpolation (up acts per channel, conv per pixel), so
     conv1x1(up(t)) == up(conv1x1(t)) — the upsample then moves 64 output
-    channels instead of the branch's input channels. Partials cast to
-    ``dtype`` before the sum (memory — see _split_conv3x3_bn_relu)."""
+    channels instead of the branch's input channels. Partials accumulate
+    WIDTH-PACKED (dense lanes; memory — see _split_conv3x3_bn_relu) and
+    cast to ``dtype`` before the sum."""
     h, w = branches[0].shape[1], branches[0].shape[2]
     offs = _channel_offsets(branches)
+    cout = kernel.shape[-1]
+    S = branches[0].s if isinstance(branches[0], packed_conv.PackedArray) \
+        else (4 if w % 4 == 0 else 1)
     acc = None
     for i, t in enumerate(branches):
         ki = kernel[:, :, offs[i]:offs[i + 1], :].astype(dtype)
-        yi = jax.lax.conv_general_dilated(
-            t, ki, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(dtype)
-        if yi.shape[1] != h or yi.shape[2] != w:
-            yi = resize_bilinear(yi, h, w)
+        if isinstance(t, packed_conv.PackedArray) \
+                and t.shape[1:3] == (h, w) and t.s == S:
+            yi = packed_conv.packed_conv1x1(t.data, ki, S)
+        else:
+            td = t.unpack() if isinstance(t, packed_conv.PackedArray) else t
+            yi = jax.lax.conv_general_dilated(
+                td, ki, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32).astype(dtype)
+            if yi.shape[1] != h or yi.shape[2] != w:
+                yi = resize_bilinear(yi, h, w)
+            if S > 1:
+                yi = packed_conv.pack(yi, S)
         acc = yi if acc is None else acc + yi
+    if S > 1:
+        out = (acc.astype(jnp.float32)
+               + jnp.tile(bias.astype(jnp.float32), S)).astype(dtype)
+        return packed_conv.unpack(out, S)
     return (acc.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
 
 

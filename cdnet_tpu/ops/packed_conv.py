@@ -115,6 +115,9 @@ class PackedArray:
     def dtype(self):
         return self.data.dtype
 
+    def astype(self, dtype) -> "PackedArray":
+        return PackedArray(self.data.astype(dtype), self.s)
+
     def unpack(self) -> jnp.ndarray:
         return unpack(self.data, self.s)
 
@@ -193,6 +196,23 @@ def dense_to_packed_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     if relu:
         y = jnp.maximum(y, 0.0)
     return y.astype(x.dtype)
+
+
+def packed_conv1x1(xp: jnp.ndarray, kernel: jnp.ndarray,
+                   s: int) -> jnp.ndarray:
+    """1x1 conv on a packed map, staying packed: the kernel becomes
+    block-diagonal per phase ((1,1,s*Cin,s*Cout), s x the true MACs but
+    dense lanes). xp: (N,H,W/s,s*Cin) -> (N,H,W/s,s*Cout)."""
+    cin, cout = kernel.shape[-2], kernel.shape[-1]
+    k = kernel.reshape(cin, cout).astype(xp.dtype)
+    kb = jnp.zeros((1, 1, s * cin, s * cout), xp.dtype)
+    for p in range(s):
+        kb = kb.at[0, 0, p * cin:(p + 1) * cin,
+                   p * cout:(p + 1) * cout].set(k)
+    return jax.lax.conv_general_dilated(
+        xp, kb, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(xp.dtype)
 
 
 def packed_conv3x3_s2(xp: jnp.ndarray, kernel: jnp.ndarray,

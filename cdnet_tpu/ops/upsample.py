@@ -48,64 +48,54 @@ def _phase_taps(s: int) -> tuple[tuple[int, float, float], ...]:
     return tuple(taps)
 
 
-def _shift1d(x: jnp.ndarray, axis: int, off: int) -> jnp.ndarray:
-    """x[..., i + off, ...] with edge clamping (resize's coordinate clamp)."""
-    if off == 0:
+def _upsample_axis(x: jnp.ndarray, axis: int, s: int) -> jnp.ndarray:
+    """Upsample ONE spatial axis by integer s (bilinear, half-pixel
+    centers, edge clamp). Phases come from SLICES of a single edge-padded
+    copy (XLA fuses static slices into the blend arithmetic — the first
+    implementation materialized each shifted copy via concatenate, which
+    cost 9 full-tensor HBM round-trips for a 2D upsample: 17 ms for a 2x
+    upsample of (8,512,512,64) bf16 vs ~4 ms this way), and the
+    interleaving reshape is free because the phase axis sits immediately
+    right of the upsampled axis in row-major order."""
+    if s == 1:
         return x
+    dt = x.dtype
     n = x.shape[axis]
-    idx = [slice(None)] * x.ndim
-    if off > 0:
-        idx[axis] = slice(off, None)
-        body = x[tuple(idx)]
-        idx[axis] = slice(n - 1, n)
-        edge = x[tuple(idx)]
-        reps = [1] * x.ndim
-        reps[axis] = off
-        return jnp.concatenate([body, jnp.tile(edge, reps)], axis=axis)
-    idx[axis] = slice(None, off)
-    body = x[tuple(idx)]
-    idx[axis] = slice(0, 1)
-    edge = x[tuple(idx)]
-    reps = [1] * x.ndim
-    reps[axis] = -off
-    return jnp.concatenate([jnp.tile(edge, reps), body], axis=axis)
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (1, 1)
+    xp = jnp.pad(x, pads, mode="edge")
+
+    def sl(off):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(1 + off, 1 + off + n)
+        return xp[tuple(idx)]
+
+    phases = []
+    for lo, wl, wr in _phase_taps(s):
+        if wr == 0.0:
+            phases.append(sl(lo))
+        elif wl == 0.0:
+            phases.append(sl(lo + 1))
+        else:
+            phases.append(sl(lo) * jnp.asarray(wl, dt)
+                          + sl(lo + 1) * jnp.asarray(wr, dt))
+    y = jnp.stack(phases, axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = n * s
+    return y.reshape(shape)
 
 
 def upsample_bilinear_int(x: jnp.ndarray, sh: int, sw: int) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H*sh, W*sw, C), bilinear, half-pixel centers.
 
     Exactly jax.image.resize(x, (B, H*sh, W*sw, C), "bilinear") for integer
-    sh, sw >= 1, as s^2 two-tap-per-axis phase blends + an interleaving
-    reshape."""
+    sh, sw >= 1 (to float associativity): bilinear is separable, so the 2D
+    upsample is two 1-axis phase-blend passes (W first — its interleave
+    reshape is free in row-major — then H on the widened tensor)."""
     assert sh >= 1 and sw >= 1
     if sh == 1 and sw == 1:
         return x
-    b, h, w, c = x.shape
-    dt = x.dtype
-    taps_h = _phase_taps(sh)
-    taps_w = _phase_taps(sw)
-    # Needed tap offsets per axis (at most {-1, 0} and {0, +1} appear).
-    offs_h = sorted({o for t in taps_h for o in (t[0], t[0] + 1)})
-    offs_w = sorted({o for t in taps_w for o in (t[0], t[0] + 1)})
-    shifted = {(oh, ow): _shift1d(_shift1d(x, 1, oh), 2, ow)
-               for oh in offs_h for ow in offs_w}
-    # phases stacked as (B, H, sh, W, sw, C) then interleaved by reshape
-    rows = []
-    for lo_h, wl_h, wr_h in taps_h:
-        cols = []
-        for lo_w, wl_w, wr_w in taps_w:
-            acc = None
-            for oh, wh in ((lo_h, wl_h), (lo_h + 1, wr_h)):
-                for ow, ww in ((lo_w, wl_w), (lo_w + 1, wr_w)):
-                    wgt = wh * ww
-                    if wgt == 0.0:
-                        continue
-                    term = shifted[(oh, ow)] * jnp.asarray(wgt, dt)
-                    acc = term if acc is None else acc + term
-            cols.append(acc)
-        rows.append(jnp.stack(cols, axis=3))        # (B, H, W, sw, C)
-    y = jnp.stack(rows, axis=2)                     # (B, H, sh, W, sw, C)
-    return y.reshape(b, h * sh, w * sw, c)
+    return _upsample_axis(_upsample_axis(x, 2, sw), 1, sh)
 
 
 def resize_bilinear_fast(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
