@@ -202,12 +202,23 @@ def build_pipeline(model, variables, cfg, image_hw: tuple[int, int],
             raise ValueError(
                 f"batch_tiles={batch_tiles} must divide evenly over the "
                 f"{mesh.size}-device mesh for tile-sharded inference")
-        local_body = jax.vmap(_body_inner, in_axes=(None, 0))
+        def local_body(v_vars, images):
+            return jax.lax.map(lambda im: _body_inner(v_vars, im), images)
         _pipeline = jax.jit(shard_map(
             local_body, mesh=mesh, in_specs=(P(), P("data")),
             out_specs=P("data"), check_rep=False))
     elif batch_tiles > 1:
-        _pipeline = jax.jit(jax.vmap(_body, in_axes=(None, 0)))
+        # lax.map, not vmap: tiles run as a device-side loop over the
+        # SINGLE-tile body — still one dispatch + one fetch per N tiles
+        # (the point of batch mode), but peak activation memory stays at
+        # one tile's. The vmap formulation let XLA overlap two 8-view
+        # forwards and blew the v5e's 15.75 GB HBM at batch_tiles=2
+        # (BENCH r5 batch leg). A device loop loses nothing on one chip —
+        # execution is serial either way — and makes batched results
+        # bit-identical to single-tile mode on every backend.
+        def _batched(v_vars, images):
+            return jax.lax.map(lambda im: _body(v_vars, im), images)
+        _pipeline = jax.jit(_batched)
     else:
         _pipeline = jax.jit(_body)
 
